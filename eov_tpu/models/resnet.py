@@ -1,0 +1,200 @@
+"""ResNet backbone in flax.linen — NHWC, TPU-first.
+
+Capability parity: reference component C4 (SURVEY.md §2a) — the reference
+wraps ``torchvision.models.resnet50(pretrained=True)`` with its classifier
+head removed and uses the penultimate 2048-d features as the clip descriptor.
+This is a ground-up flax implementation of the same architecture family
+(ResNet v1.5: stride-2 lives in the 3x3 conv of the downsampling bottleneck,
+matching torchvision so ported ImageNet weights are bit-compatible).
+
+TPU design notes:
+* NHWC layout throughout — XLA:TPU's native conv layout; channels land on
+  the 128-lane axis and convs map onto the MXU without transposes.
+* Compute dtype is a parameter (bf16 by default on TPU); parameters and
+  BatchNorm statistics/arithmetic stay float32 for accuracy.
+* Inference-mode BN folds into a scale/bias affine — XLA fuses it with the
+  adjacent conv, so no hand kernel is needed for the backbone (SURVEY.md §2b
+  row N2).
+* No data-dependent Python control flow; a single jitted apply handles any
+  leading batch shape.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ResNet", "ResNet18", "ResNet34", "ResNet50", "ResNet101",
+           "ResNet152", "resnet50_feature_apply"]
+
+ModuleDef = Any
+
+
+class Bottleneck(nn.Module):
+    """ResNet v1.5 bottleneck: 1x1 -> 3x3 (stride here) -> 1x1, + shortcut."""
+
+    filters: int  # bottleneck width; output channels = 4 * filters
+    strides: int
+    conv: ModuleDef
+    norm: ModuleDef
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (1, 1), padding="VALID", name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        # Explicit (1,1) padding: torch semantics. XLA's SAME pads (0,1) for
+        # stride-2 3x3 on even inputs, which shifts every window one pixel.
+        y = self.conv(
+            self.filters,
+            (3, 3),
+            strides=(self.strides, self.strides),
+            padding=[(1, 1), (1, 1)],
+            name="conv2",
+        )(y)
+        y = self.norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters * 4, (1, 1), padding="VALID", name="conv3")(y)
+        y = self.norm(name="bn3")(y)
+
+        if residual.shape[-1] != self.filters * 4 or self.strides != 1:
+            residual = self.conv(
+                self.filters * 4,
+                (1, 1),
+                strides=(self.strides, self.strides),
+                padding="VALID",
+                name="downsample_conv",
+            )(x)
+            residual = self.norm(name="downsample_bn")(residual)
+
+        return nn.relu(y + residual)
+
+
+class BasicBlock(nn.Module):
+    """ResNet basic block (18/34): 3x3 (stride) -> 3x3, + shortcut."""
+
+    filters: int
+    strides: int
+    conv: ModuleDef
+    norm: ModuleDef
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(
+            self.filters,
+            (3, 3),
+            strides=(self.strides, self.strides),
+            padding=[(1, 1), (1, 1)],
+            name="conv1",
+        )(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)], name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+
+        if residual.shape[-1] != self.filters or self.strides != 1:
+            residual = self.conv(
+                self.filters,
+                (1, 1),
+                strides=(self.strides, self.strides),
+                padding="VALID",
+                name="downsample_conv",
+            )(x)
+            residual = self.norm(name="downsample_bn")(residual)
+
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """NHWC ResNet feature extractor.
+
+    ``__call__`` returns pooled features of width ``4*512`` (bottleneck) or
+    ``512`` (basic) — the reference's penultimate layer. An optional
+    ``num_classes`` adds the linear head (used only by the finetune path,
+    reference component C12).
+    """
+
+    stage_sizes: Sequence[int]
+    block_cls: type = Bottleneck
+    num_classes: int | None = None
+    width: int = 64
+    dtype: Any = jnp.float32
+    use_running_average: bool = True  # inference-mode BN by default
+    # None = backend default (bf16-truncated conv inputs on CPU/TPU — the
+    # production TPU setting). Parity tests pass Precision.HIGHEST for true
+    # f32 accumulation against the torch reference.
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool | None = None):
+        use_ra = self.use_running_average if train is None else not train
+        conv = functools.partial(
+            nn.Conv,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            precision=self.precision,
+        )
+        norm = functools.partial(
+            nn.BatchNorm,
+            use_running_average=use_ra,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,  # BN math in f32 regardless of compute dtype
+            param_dtype=jnp.float32,
+        )
+
+        x = x.astype(self.dtype)
+        x = conv(self.width, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                 name="conv1")(x)
+        x = norm(name="bn1")(x)
+        x = nn.relu(x)
+        # torch MaxPool2d(3, stride=2, padding=1) semantics: pad with -inf.
+        x = nn.max_pool(
+            x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+        )
+
+        for i, n_blocks in enumerate(self.stage_sizes):
+            for j in range(n_blocks):
+                strides = 2 if i > 0 and j == 0 else 1
+                x = self.block_cls(
+                    filters=self.width * 2**i,
+                    strides=strides,
+                    conv=conv,
+                    norm=norm,
+                    name=f"layer{i + 1}_{j}",
+                )(x)
+
+        x = jnp.mean(x, axis=(-3, -2))  # global average pool over H, W
+        x = x.astype(jnp.float32)
+        if self.num_classes is not None:
+            x = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(x)
+        return x
+
+
+ResNet18 = functools.partial(ResNet, stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock)
+ResNet34 = functools.partial(ResNet, stage_sizes=(3, 4, 6, 3), block_cls=BasicBlock)
+ResNet50 = functools.partial(ResNet, stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck)
+ResNet101 = functools.partial(ResNet, stage_sizes=(3, 4, 23, 3), block_cls=Bottleneck)
+ResNet152 = functools.partial(ResNet, stage_sizes=(3, 8, 36, 3), block_cls=Bottleneck)
+
+
+def resnet50_feature_apply(
+    params, frames: jax.Array, *, dtype=jnp.bfloat16
+) -> jax.Array:
+    """Pure apply: frames [..., H, W, 3] float -> features [..., 2048].
+
+    Leading dims are flattened for the conv stack and restored after — one
+    big NHWC batch keeps the MXU fed (SURVEY.md §3.1 hot loop).
+    """
+    model = ResNet50(num_classes=None, dtype=dtype)
+    lead = frames.shape[:-3]
+    flat = frames.reshape((-1,) + frames.shape[-3:])
+    feats = model.apply(params, flat)
+    return feats.reshape(lead + (feats.shape[-1],))

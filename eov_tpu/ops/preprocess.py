@@ -1,0 +1,101 @@
+"""Fused on-device preprocess: uint8 frames -> normalized NHWC network input.
+
+Capability parity: reference component C3 (SURVEY.md §2a) — the PIL/
+torchvision transform chain (``GroupScale(256) -> GroupCenterCrop(224) ->
+ToTensor/255 -> GroupNormalize(ImageNet)``; train adds random crop + hflip).
+
+TPU-first: the whole chain is one jitted device computation on the raw uint8
+frames — resize is two MXU matmuls (ops/resize.py), crop is a static (eval)
+or dynamic (train) slice, and /255-normalize folds into a single per-channel
+affine that XLA fuses into the resize matmul epilogue. Host work is decode
+only (SURVEY.md §3.1). A Pallas fused variant of crop+normalize lives in
+ops/pallas_preprocess.py; this XLA path is the semantics reference for it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eov_tpu.ops import resize as resize_ops
+
+__all__ = [
+    "IMAGENET_MEAN",
+    "IMAGENET_STD",
+    "normalize",
+    "center_crop",
+    "preprocess_eval",
+    "preprocess_train",
+]
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def normalize(x: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """[0, 255] float -> ImageNet-normalized, channels-last.
+
+    Folded affine: (x/255 - mean) / std == x * (1/(255*std)) - mean/std.
+    """
+    scale = jnp.asarray(1.0 / (255.0 * IMAGENET_STD), dtype)
+    bias = jnp.asarray(IMAGENET_MEAN / IMAGENET_STD, dtype)
+    return x.astype(dtype) * scale - bias
+
+
+def center_crop(x: jax.Array, crop: int) -> jax.Array:
+    """Static center crop of [..., H, W, C] to [..., crop, crop, C]."""
+    h, w = x.shape[-3], x.shape[-2]
+    top, left = (h - crop) // 2, (w - crop) // 2
+    return x[..., top : top + crop, left : left + crop, :]
+
+
+def preprocess_eval(
+    frames_u8: jax.Array,
+    *,
+    scale_size: int = 256,
+    crop_size: int = 224,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Eval-time chain: uint8 [..., H, W, 3] -> normalized [..., crop, crop, 3].
+
+    Matches the reference's deterministic test-time transforms: short-side
+    resize (PIL-antialiased semantics) -> center crop -> /255 -> normalize.
+    """
+    x = frames_u8.astype(jnp.float32)
+    x = resize_ops.resize_short_side(x, scale_size)
+    x = center_crop(x, crop_size)
+    return normalize(x, dtype)
+
+
+def preprocess_train(
+    key: jax.Array,
+    frames_u8: jax.Array,
+    *,
+    scale_size: int = 256,
+    crop_size: int = 224,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Train-time chain: random 224 crop + random horizontal flip, per clip.
+
+    The crop offset and flip decision are sampled once per *clip* (all K
+    segment frames get the same geometry), matching the reference's
+    Group-transform semantics where one random draw applies to the whole
+    frame group. Deviation note: the reference's TSN lineage uses
+    GroupMultiScaleCrop for training; this implements the simpler
+    random-crop+flip variant (also standard in TSN) to keep device shapes
+    static — revisit if finetune accuracy parity demands it (OPEN-4).
+
+    frames_u8: uint8 [K, H, W, 3] (one clip). vmap over clips for a batch.
+    """
+    x = frames_u8.astype(jnp.float32)
+    x = resize_ops.resize_short_side(x, scale_size)
+    h, w = x.shape[-3], x.shape[-2]
+    k_top, k_left, k_flip = jax.random.split(key, 3)
+    top = jax.random.randint(k_top, (), 0, h - crop_size + 1)
+    left = jax.random.randint(k_left, (), 0, w - crop_size + 1)
+    x = jax.lax.dynamic_slice_in_dim(x, top, crop_size, axis=-3)
+    x = jax.lax.dynamic_slice_in_dim(x, left, crop_size, axis=-2)
+    flip = jax.random.bernoulli(k_flip)
+    x = jnp.where(flip, jnp.flip(x, axis=-2), x)
+    return normalize(x, dtype)

@@ -1,0 +1,50 @@
+"""ResNet backbone shape/dtype smoke tests + param-count check vs torch ResNet-50.
+
+Full activation-level golden parity vs a hand-written torch ResNet-50 with
+shared random weights lives in test_torch_parity.py (SURVEY.md §4.1).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eov_tpu.models import ResNet50, resnet50_feature_apply
+
+
+def _init_small():
+    model = ResNet50(num_classes=None, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    return model, params
+
+
+def test_feature_shape_and_dtype():
+    model, params = _init_small()
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    out = model.apply(params, x)
+    assert out.shape == (2, 2048)
+    assert out.dtype == jnp.float32
+
+
+def test_param_count_matches_resnet50():
+    # torchvision resnet50 (no fc): 23,508,032 parameters.
+    _, params = _init_small()
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params["params"]))
+    assert n == 23_508_032, n
+
+
+def test_leading_dims_flattened():
+    _, params = _init_small()
+    frames = jnp.zeros((2, 3, 64, 64, 3), jnp.float32)  # [B, K, H, W, C]
+    feats = resnet50_feature_apply(params, frames, dtype=jnp.float32)
+    assert feats.shape == (2, 3, 2048)
+
+
+def test_batch_consistency():
+    # Same input -> same feature regardless of batch packing (BN inference mode).
+    _, params = _init_small()
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 64, 64, 3))
+    single = model_apply = ResNet50(dtype=jnp.float32).apply(params, x[:1])
+    batched = ResNet50(dtype=jnp.float32).apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(single[0]), np.asarray(batched[0]), rtol=2e-5, atol=2e-5
+    )

@@ -1,0 +1,78 @@
+"""Hand-written torch-CPU ResNet-50 used ONLY as a golden parity reference.
+
+torchvision is not installed in this environment (SURVEY.md §7 [ENV]), so the
+parity tests drive this independent implementation of the same canonical
+architecture (ResNet v1.5: stride-2 in the 3x3 conv). Written from the
+architecture definition, not from torchvision sources.
+"""
+
+import torch
+import torch.nn as nn
+
+
+class TorchBottleneck(nn.Module):
+    def __init__(self, in_ch, width, stride):
+        super().__init__()
+        out_ch = width * 4
+        self.conv1 = nn.Conv2d(in_ch, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, out_ch, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(out_ch)
+        self.relu = nn.ReLU()
+        if stride != 1 or in_ch != out_ch:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(in_ch, out_ch, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(out_ch),
+            )
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return self.relu(y + idn)
+
+
+class TorchResNet50(nn.Module):
+    def __init__(self, num_classes=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU()
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        stage_sizes = [3, 4, 6, 3]
+        in_ch = 64
+        for i, n in enumerate(stage_sizes):
+            width = 64 * 2**i
+            blocks = []
+            for j in range(n):
+                stride = 2 if (i > 0 and j == 0) else 1
+                blocks.append(TorchBottleneck(in_ch, width, stride))
+                in_ch = width * 4
+            setattr(self, f"layer{i + 1}", nn.Sequential(*blocks))
+        self.fc = nn.Linear(2048, num_classes) if num_classes else None
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer1(x)
+        x = self.layer2(x)
+        x = self.layer3(x)
+        x = self.layer4(x)
+        x = x.mean(dim=(2, 3))
+        if self.fc is not None:
+            x = self.fc(x)
+        return x
+
+
+def torchvision_style_state_dict(model: TorchResNet50) -> dict:
+    """Rename layerN.J.downsample.{0,1} keys to torchvision's exact names."""
+    sd = {}
+    for k, v in model.state_dict().items():
+        if "num_batches_tracked" in k:
+            continue
+        sd[k] = v.detach().numpy()
+    return sd
