@@ -1,0 +1,87 @@
+"""Headline benchmark: ResNet-50 clip-feature throughput (clips/sec/chip).
+
+BASELINE.json:2/5 — the metric is 8-frame TSN clip features through the
+fused preprocess+backbone+consensus program on one chip, target >= 1000
+clips/sec/chip on TPU v5e. Prints ONE JSON line.
+
+Methodology: device-resident uint8 frames (the pod input pipeline feeds
+per-host shards; host decode is benchmarked separately via the runtime clip
+loader) -> jitted feature_fn -> block_until_ready fence; median of timed
+iterations after warmup. jax.profiler trace optional via EOV_BENCH_TRACE=dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eov_tpu.extract import ExtractConfig, make_feature_fn
+    from eov_tpu.models import ResNet50
+
+    platform = jax.devices()[0].platform
+    batch = int(os.environ.get("EOV_BENCH_BATCH", "32" if platform == "tpu" else "2"))
+    iters = int(os.environ.get("EOV_BENCH_ITERS", "10" if platform == "tpu" else "2"))
+    k = 8
+
+    params = ResNet50(dtype=jnp.bfloat16).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))
+    )
+    cfg = ExtractConfig(num_segments=k, scale_size=256, crop_size=224)
+    fn = make_feature_fn(params, cfg)
+
+    rng = np.random.default_rng(0)
+    frames = jax.device_put(
+        jnp.asarray(
+            rng.integers(0, 256, (batch, k, 256, 320, 3), dtype=np.uint8)
+        )
+    )
+
+    # Warmup (compile + cache).
+    fn(frames).block_until_ready()
+    fn(frames).block_until_ready()
+
+    trace_dir = os.environ.get("EOV_BENCH_TRACE")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn(frames).block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    if trace_dir:
+        jax.profiler.stop_trace()
+
+    med = statistics.median(times)
+    clips_per_sec = batch / med
+    print(
+        json.dumps(
+            {
+                "metric": "resnet50_clip_features_throughput",
+                "value": round(clips_per_sec, 2),
+                "unit": "clips/sec/chip",
+                "vs_baseline": round(clips_per_sec / 1000.0, 4),
+                "detail": {
+                    "platform": platform,
+                    "batch_clips": batch,
+                    "num_segments": k,
+                    "frame_hw": [256, 320],
+                    "median_step_s": round(med, 5),
+                    "iters": iters,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,331 @@
+"""CLI entry points — capability parity with the reference's scripts (C13).
+
+SURVEY.md §1 L6: the reference exposes argparse scripts for feature
+extraction, one-shot eval (plain + embodied), and finetune. Equivalents:
+
+    eov extract   — dataset -> clip features into a FeatureStore
+    eov eval      — episodic one-shot eval over a FeatureStore (+ embodied)
+    eov episode   — config-1 single episode from raw clips, end to end
+    eov train     — TSN finetune on meta-train classes
+    eov fixtures  — materialize a synthetic frame-folder dataset (JPEGs)
+    eov bench     — headline throughput benchmark (bench.py)
+
+Every run logs its resolved config + results to --metrics jsonl
+(SURVEY.md §5 observability).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--preset", default="ucf101_600",
+                   help="config preset (see eov_tpu/config.py)")
+    p.add_argument("--metrics", default=None, help="metrics.jsonl path")
+    p.add_argument("--platform", default=None,
+                   help="force jax platform (cpu/tpu)")
+
+
+def _setup_platform(args) -> None:
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+
+def _load_dataset(args):
+    from eov_tpu.data import datasets
+
+    if args.dataset == "synthetic":
+        return datasets.SyntheticVideoDataset(
+            n_classes=args.synthetic_classes,
+            clips_per_class=args.synthetic_clips,
+            seed=args.seed,
+        )
+    if args.dataset == "framedir":
+        if not (args.root and args.split):
+            raise SystemExit("--root and --split required for framedir")
+        if args.split.endswith(".json"):
+            meta = datasets.load_split_json(args.split)
+            split = meta["splits"][args.split_name]
+            names = meta["class_names"]
+        else:
+            split = datasets.load_split_txt(args.split)
+            names = [str(i) for i in range(max(s[2] for s in split) + 1)]
+        return datasets.FrameFolderDataset(args.root, split, names)
+    raise SystemExit(f"unknown dataset {args.dataset}")
+
+
+def _load_params(args, dtype_str: str):
+    import jax
+    import jax.numpy as jnp
+
+    from eov_tpu.models import ResNet50
+
+    model = ResNet50(dtype=jnp.dtype(dtype_str))
+    if args.params:
+        if args.params.endswith((".pth", ".pt", ".npz")):
+            from eov_tpu.tools.port_torch import port_resnet_state_dict
+
+            if args.params.endswith(".npz"):
+                import numpy as np
+
+                sd = dict(np.load(args.params))
+            else:
+                import torch
+
+                sd = torch.load(args.params, map_location="cpu",
+                                weights_only=True)
+            return port_resnet_state_dict(sd)
+        from eov_tpu.utils.checkpoint import load_pytree
+
+        return load_pytree(args.params)
+    print(
+        "warning: no --params given; using RANDOM ImageNet-free weights "
+        "(fixture mode — accuracy will not match pretrained parity)",
+        file=sys.stderr,
+    )
+    return model.init(jax.random.PRNGKey(args.seed),
+                      jnp.zeros((1, 224, 224, 3)))
+
+
+def cmd_extract(args) -> int:
+    _setup_platform(args)
+    from eov_tpu.config import get_preset, resolved_dict
+    from eov_tpu.data.store import FeatureStore
+    from eov_tpu.extract import extract_features
+    from eov_tpu.utils.metrics import MetricsWriter
+
+    preset = get_preset(args.preset)
+    dataset = _load_dataset(args)
+    params = _load_params(args, preset.extract.compute_dtype)
+    store = FeatureStore(args.store, class_names=list(dataset.class_names))
+    metrics = MetricsWriter(args.metrics)
+    metrics.write("config", command="extract",
+                  config=resolved_dict(preset.extract))
+    stats = extract_features(dataset, params, store, preset.extract, metrics)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    _setup_platform(args)
+    import dataclasses
+
+    from eov_tpu.config import get_preset, resolved_dict
+    from eov_tpu.data.store import FeatureStore
+    from eov_tpu.embodied import align_virtual_bank
+    from eov_tpu.eval import evaluate
+    from eov_tpu.utils.metrics import MetricsWriter
+
+    preset = get_preset(args.preset)
+    cfg = preset.eval
+    overrides = {}
+    for field in ("n_way", "k_shot", "n_query", "n_episodes", "metric",
+                  "fusion", "seed"):
+        v = getattr(args, field, None)
+        if v is not None:
+            overrides[field] = v
+    if args.embodied:
+        overrides["embodied"] = True
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+
+    store = FeatureStore(args.store)
+    table = store.to_table()
+    virtual = None
+    if cfg.embodied:
+        if not args.virtual_store:
+            raise SystemExit("--virtual-store required for embodied eval")
+        vstore = FeatureStore(args.virtual_store)
+        virtual = align_virtual_bank(
+            store.class_names, vstore.class_names, vstore.to_table()
+        )
+
+    metrics = MetricsWriter(args.metrics)
+    metrics.write("config", command="eval", config=resolved_dict(cfg))
+    res = evaluate(table, cfg, virtual=virtual)
+    metrics.write("eval_result", mean_acc=res.mean_acc, ci95=res.ci95,
+                  n_episodes=len(res.per_episode))
+    print(res)  # "accuracy: MM.MM% +/- C.CC%" — reference-compatible line
+    return 0
+
+
+def cmd_episode(args) -> int:
+    """Config 1: one 5-way 1-shot episode from raw clips, batch 1, CPU."""
+    _setup_platform(args)
+    import numpy as np
+    import jax.numpy as jnp
+
+    from eov_tpu.config import get_preset
+    from eov_tpu.extract import make_feature_fn
+    from eov_tpu.ops import similarity
+
+    preset = get_preset(args.preset)
+    dataset = _load_dataset(args)
+    params = _load_params(args, preset.extract.compute_dtype)
+    fn = make_feature_fn(params, preset.extract)
+
+    n_way = args.n_way or 5
+    rng = np.random.default_rng(args.seed)
+    by_class: dict[int, list] = {}
+    for r in dataset.records:
+        by_class.setdefault(r.label, []).append(r)
+    classes = rng.choice(sorted(by_class), size=n_way, replace=False)
+
+    def feat(rec):
+        from eov_tpu.extract import _center_indices_np
+
+        idx = _center_indices_np(rec.num_frames, preset.extract.num_segments)
+        frames = dataset.get_frames(rec, idx)[None]
+        return np.asarray(fn(jnp.asarray(frames)))[0]
+
+    sup, qry, truth = [], [], []
+    for i, c in enumerate(classes):
+        picks = rng.choice(len(by_class[c]), size=2, replace=False)
+        sup.append(feat(by_class[c][picks[0]]))
+        qry.append(feat(by_class[c][picks[1]]))
+        truth.append(i)
+    preds = np.asarray(
+        similarity.predict(
+            jnp.asarray(np.stack(qry)), jnp.asarray(np.stack(sup))[:, None, :]
+        )
+    )
+    acc = float((preds == np.array(truth)).mean())
+    print(json.dumps({"n_way": n_way, "accuracy": acc,
+                      "preds": preds.tolist(), "truth": truth}))
+    return 0
+
+
+def cmd_train(args) -> int:
+    _setup_platform(args)
+    import jax
+
+    from eov_tpu import train as eov_train
+    from eov_tpu.config import resolved_dict
+    from eov_tpu.utils.checkpoint import save_pytree
+    from eov_tpu.utils.metrics import MetricsWriter
+
+    dataset = _load_dataset(args)
+    cfg = eov_train.TrainConfig(
+        num_classes=len(dataset.class_names),
+        num_segments=args.num_segments or 3,
+        batch_clips=args.batch or 8,
+        lr=args.lr or 0.001,
+    )
+    metrics = MetricsWriter(args.metrics)
+    metrics.write("config", command="train", config=resolved_dict(cfg))
+    state = eov_train.create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
+    step_fn = eov_train.make_train_step(cfg)
+    for epoch in range(args.epochs):
+        state, m = eov_train.train_epoch_synthetic(
+            state, step_fn, cfg, dataset, epoch=epoch
+        )
+        metrics.write("epoch", epoch=epoch, **m)
+        print(f"epoch {epoch}: {m}")
+    if args.out:
+        save_pytree(args.out, {"params": state.params,
+                               "batch_stats": state.batch_stats})
+        print(f"saved checkpoint: {args.out}")
+    return 0
+
+
+def cmd_fixtures(args) -> int:
+    """Materialize a synthetic dataset as JPEG frame folders + split files."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from eov_tpu.data import datasets
+    from eov_tpu.data.fixtures import synthetic_clip
+
+    ds = datasets.SyntheticVideoDataset(
+        n_classes=args.synthetic_classes, clips_per_class=args.synthetic_clips,
+        seed=args.seed,
+    )
+    split = []
+    for rec in ds.records:
+        c, j = ds._meta[rec.video_id]
+        clip = synthetic_clip(c, j, rec.num_frames, ds.height, ds.width)
+        vdir = os.path.join(args.root, rec.video_id)
+        os.makedirs(vdir, exist_ok=True)
+        for t in range(rec.num_frames):
+            Image.fromarray(clip[t]).save(
+                os.path.join(vdir, f"img_{t + 1:05d}.jpg"), quality=90
+            )
+        split.append([rec.video_id, rec.num_frames, rec.label])
+    datasets.save_split_json(
+        os.path.join(args.root, "split.json"), ds.class_names, {"all": split}
+    )
+    print(f"wrote {len(split)} videos under {args.root}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser("eov", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add(name, fn, **extra):
+        p = sub.add_parser(name)
+        _add_common(p)
+        p.add_argument("--seed", type=int, default=0)
+        p.add_argument("--dataset", default="synthetic",
+                       choices=["synthetic", "framedir"])
+        p.add_argument("--root", default=None)
+        p.add_argument("--split", default=None)
+        p.add_argument("--split-name", default="all")
+        p.add_argument("--synthetic-classes", type=int, default=10)
+        p.add_argument("--synthetic-clips", type=int, default=8)
+        p.add_argument("--params", default=None,
+                       help="orbax dir, torch .pth, or .npz state_dict")
+        for flag, kw in extra.items():
+            p.add_argument(flag, **kw)
+        p.set_defaults(fn=fn)
+        return p
+
+    add("extract", cmd_extract, **{"--store": {"required": True}})
+    add(
+        "eval", cmd_eval,
+        **{
+            "--store": {"required": True},
+            "--virtual-store": {"default": None},
+            "--embodied": {"action": "store_true"},
+            "--n-way": {"type": int, "dest": "n_way"},
+            "--k-shot": {"type": int, "dest": "k_shot"},
+            "--n-query": {"type": int, "dest": "n_query"},
+            "--n-episodes": {"type": int, "dest": "n_episodes"},
+            "--metric": {"choices": ["cosine", "euclidean"]},
+            "--fusion": {"choices": ["max", "mean"]},
+        },
+    )
+    add("episode", cmd_episode, **{"--n-way": {"type": int, "dest": "n_way"}})
+    add(
+        "train", cmd_train,
+        **{
+            "--epochs": {"type": int, "default": 1},
+            "--batch": {"type": int},
+            "--lr": {"type": float},
+            "--num-segments": {"type": int, "dest": "num_segments"},
+            "--out": {"default": None},
+        },
+    )
+    add("fixtures", cmd_fixtures)
+    add("bench", cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

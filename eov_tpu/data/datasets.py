@@ -1,0 +1,236 @@
+"""Video dataset abstractions: records, split files, frame folders, fixtures.
+
+Capability parity: reference components C1 (frame-folder dataset) and C11
+(split metadata) — SURVEY.md §2a. The reference follows the TSN-PyTorch
+convention: videos stored as folders of extracted JPEG frames, split files
+with ``<path> <num_frames> <label>`` lines. Both are supported here, plus
+the in-memory synthetic fixture dataset (SURVEY.md §2d) used whenever real
+data is absent.
+
+Unlike the reference's torch ``Dataset``/``DataLoader`` (a process-boundary
+host pipeline, SURVEY.md §3.1), datasets here are thin host-side index
+structures; batching/prefetch is the extraction pipeline's job
+(extract.py + runtime/clip loader) and all tensor work happens on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Protocol, Sequence
+
+import numpy as np
+
+__all__ = [
+    "VideoRecord",
+    "VideoDataset",
+    "SyntheticVideoDataset",
+    "FrameFolderDataset",
+    "load_split_txt",
+    "save_split_txt",
+    "load_split_json",
+    "save_split_json",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoRecord:
+    """One video: stable id, frame count, integer label."""
+
+    video_id: str
+    num_frames: int
+    label: int
+
+
+class VideoDataset(Protocol):
+    """Minimal dataset protocol consumed by extract.py."""
+
+    records: Sequence[VideoRecord]
+    class_names: Sequence[str]
+
+    def get_frames(self, record: VideoRecord, indices: np.ndarray) -> np.ndarray:
+        """uint8 [len(indices), H, W, 3] RGB frames at the given indices."""
+        ...
+
+
+class SyntheticVideoDataset:
+    """Procedural fixture dataset (SURVEY.md §2d) — deterministic, no IO."""
+
+    def __init__(
+        self,
+        n_classes: int = 10,
+        clips_per_class: int = 8,
+        min_frames: int = 24,
+        max_frames: int = 60,
+        height: int = 128,
+        width: int = 160,
+        seed: int = 0,
+        name: str = "synthetic",
+    ):
+        from eov_tpu.data import fixtures
+
+        self._fixtures = fixtures
+        self.name = name
+        self.height, self.width = height, width
+        self.class_names = [f"{name}_class_{c:03d}" for c in range(n_classes)]
+        rng = np.random.default_rng(seed)
+        self.records = []
+        self._meta = {}
+        for c in range(n_classes):
+            for j in range(clips_per_class):
+                vid = f"{name}_c{c:03d}_v{j:03d}"
+                f = int(rng.integers(min_frames, max_frames + 1))
+                self.records.append(VideoRecord(vid, f, c))
+                self._meta[vid] = (c, j)
+
+    def get_frames(self, record: VideoRecord, indices: np.ndarray) -> np.ndarray:
+        c, j = self._meta[record.video_id]
+        clip = self._fixtures.synthetic_clip(
+            c, j, record.num_frames, self.height, self.width
+        )
+        return clip[np.asarray(indices)]
+
+
+class FrameFolderDataset:
+    """TSN-convention frame folders: ``root/<video>/{tmpl % i}`` JPEG frames.
+
+    Frame index template follows the reference convention of 1-based
+    ``img_{:05d}.jpg`` files; decode via PIL (always present) with OpenCV as
+    the alternative backend.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        split: Sequence[tuple[str, int, int]],
+        class_names: Sequence[str],
+        image_tmpl: str = "img_{:05d}.jpg",
+        backend: str = "pil",
+    ):
+        self.root = root
+        self.image_tmpl = image_tmpl
+        self.backend = backend
+        self.class_names = list(class_names)
+        self.records = [VideoRecord(p, n, l) for p, n, l in split]
+
+    def _decode(self, path: str) -> np.ndarray:
+        if self.backend == "cv2":
+            import cv2
+
+            img = cv2.imread(path, cv2.IMREAD_COLOR)
+            if img is None:
+                raise IOError(f"decode failed: {path}")
+            return img[:, :, ::-1]  # BGR -> RGB
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"))
+
+    def get_frames(self, record: VideoRecord, indices: np.ndarray) -> np.ndarray:
+        frames = [
+            self._decode(
+                os.path.join(
+                    self.root, record.video_id, self.image_tmpl.format(int(i) + 1)
+                )
+            )
+            for i in np.asarray(indices)
+        ]
+        return np.stack(frames)
+
+
+class EovcVideoDataset:
+    """VideoDataset over an EOVC shard (runtime/eovc.py format).
+
+    Prefers the native threaded loader (runtime/native.py); falls back to
+    the pure-python reader. Class names come from a sidecar list or default
+    to label indices.
+    """
+
+    def __init__(self, path: str, class_names: Sequence[str] | None = None,
+                 prefer_native: bool = True):
+        self._native = None
+        if prefer_native:
+            try:
+                from eov_tpu.runtime.native import NativeClipLoader, native_available
+
+                if native_available():
+                    self._native = NativeClipLoader(path)
+            except Exception:
+                self._native = None
+        from eov_tpu.runtime.eovc import EovcReader
+
+        self._reader = None if self._native else EovcReader(path)
+
+        self.records = []
+        self._index = {}
+        if self._native:
+            n = self._native.n_clips
+            infos = [self._native.clip_info(i) for i in range(n)]
+        else:
+            infos = [
+                (c.video_id, c.label, c.n_frames) for c in self._reader.clips
+            ]
+        for i, (vid, label, nf) in enumerate(infos):
+            self.records.append(VideoRecord(vid, nf, label))
+            self._index[vid] = i
+        max_label = max((r.label for r in self.records), default=-1)
+        self.class_names = (
+            list(class_names)
+            if class_names
+            else [str(i) for i in range(max_label + 1)]
+        )
+
+    @property
+    def is_native(self) -> bool:
+        return self._native is not None
+
+    def get_frames(self, record: VideoRecord, indices: np.ndarray) -> np.ndarray:
+        i = self._index[record.video_id]
+        idx = np.asarray(indices, np.int32)
+        if self._native:
+            return self._native.load_batch([i], idx[None, :])[0]
+        return self._reader.load_frames(i, idx)
+
+    def get_batch(self, records, indices: np.ndarray) -> np.ndarray:
+        """Pooled multi-clip load [B, K, H, W, 3] (native fast path)."""
+        ids = [self._index[r.video_id] for r in records]
+        if self._native:
+            return self._native.load_batch(ids, np.asarray(indices, np.int32))
+        return np.stack(
+            [self._reader.load_frames(i, f) for i, f in zip(ids, indices)]
+        )
+
+
+def load_split_txt(path: str) -> list[tuple[str, int, int]]:
+    """TSN split list: ``<video_path> <num_frames> <label>`` per line."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            p, n, l = line.rsplit(maxsplit=2)
+            out.append((p, int(n), int(l)))
+    return out
+
+
+def save_split_txt(path: str, split: Sequence[tuple[str, int, int]]) -> None:
+    with open(path, "w") as f:
+        for p, n, l in split:
+            f.write(f"{p} {n} {l}\n")
+
+
+def load_split_json(path: str) -> dict:
+    """eov_tpu-native split format: class names + per-split video lists.
+
+    {"class_names": [...],
+     "splits": {"train": [[video_id, num_frames, label], ...], ...}}
+    """
+    with open(path) as f:
+        return json.load(f)
+
+
+def save_split_json(path: str, class_names, splits) -> None:
+    with open(path, "w") as f:
+        json.dump({"class_names": list(class_names), "splits": splits}, f)

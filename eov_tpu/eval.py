@@ -1,0 +1,168 @@
+"""Episodic one-shot evaluation harness — batched, jitted, seeded.
+
+Capability parity: reference components C7+C8+C9+C10 composed
+(SURVEY.md §3.2/3.3): N-way K-shot episodes over a cached feature table,
+accuracy aggregated as mean ± 95% CI over E episodes (600 by default,
+BASELINE.json:8; episode count is OPEN-2 and configurable).
+
+TPU-first: the reference's per-episode host loop becomes a scan of jitted
+device steps, each step sampling + gathering + classifying
+``episodes_per_step`` episodes at once (64, BASELINE.json:10): sampler
+(episodes.py) -> feature gather -> batched normalize/matmul/fuse/argmax
+(ops/similarity.py) -> per-episode accuracy, entirely on device. The host
+only accumulates the [E] accuracy vector and computes the CI.
+
+Embodied eval (config 3, BASELINE.json:9): a virtual support bank
+[C, V, D] (UnrealAction features, embodied.py) is appended to each chosen
+class's support members with a validity mask; fusion rule per OPEN-1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eov_tpu import episodes as ep
+from eov_tpu.ops import similarity
+
+__all__ = ["EvalConfig", "EvalResult", "FeatureTable", "evaluate", "eval_step"]
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """One-shot eval protocol (reference defaults, BASELINE.json:8)."""
+
+    n_way: int = 5
+    k_shot: int = 1
+    n_query: int = 1
+    n_episodes: int = 600
+    episodes_per_step: int = 64
+    metric: str = "cosine"  # 'cosine' | 'euclidean'
+    fusion: str = "max"     # 'max' (union support) | 'mean' (prototype)
+    seed: int = 0
+    embodied: bool = False
+
+
+class FeatureTable(NamedTuple):
+    """Padded rectangular clip-feature store for a split.
+
+    features: [C, M, D] float32 — clip features, class-major slots
+    counts:   [C] int32         — valid clips per class
+    """
+
+    features: jax.Array
+    counts: jax.Array
+
+
+class EvalResult(NamedTuple):
+    mean_acc: float
+    ci95: float
+    per_episode: np.ndarray  # [E] accuracies in sample order
+
+    def __str__(self) -> str:  # format-compatible final line (SURVEY.md §5)
+        return f"accuracy: {self.mean_acc * 100:.2f}% +/- {self.ci95 * 100:.2f}%"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_way", "k_shot", "n_query", "n_step", "metric", "fusion"
+    ),
+)
+def eval_step(
+    key,
+    features,         # [C, M, D]
+    counts,           # [C]
+    virtual_feats,    # [C, V, D] or None
+    virtual_counts,   # [C] or None
+    *,
+    n_way: int,
+    k_shot: int,
+    n_query: int,
+    n_step: int,
+    metric: str,
+    fusion: str,
+):
+    """One device step: sample + gather + classify n_step episodes.
+
+    Returns per-episode accuracy [n_step] (float32).
+    """
+    idx = ep.sample_episodes(
+        key,
+        counts,
+        n_way=n_way,
+        k_shot=k_shot,
+        n_query=n_query,
+        n_episodes=n_step,
+        max_clips=features.shape[1],
+    )
+
+    # Gathers: [E, N, K, D] support, [E, N, Q, D] query.
+    sup = features[idx.class_ids[..., None], idx.support_idx]
+    qry = features[idx.class_ids[..., None], idx.query_idx]
+    e = sup.shape[0]
+    mask = jnp.ones(sup.shape[:-1], jnp.float32)
+
+    if virtual_feats is not None:
+        # Append the virtual members of each chosen class: [E, N, V, D].
+        virt = virtual_feats[idx.class_ids]
+        vmask = (
+            jnp.arange(virtual_feats.shape[1], dtype=jnp.int32)[None, None, :]
+            < virtual_counts[idx.class_ids][..., None]
+        ).astype(jnp.float32)
+        sup = jnp.concatenate([sup, virt], axis=2)
+        mask = jnp.concatenate([mask, vmask], axis=2)
+
+    qry_flat = qry.reshape(e, n_way * n_query, -1)
+    preds = similarity.predict(
+        qry_flat, sup, mask, metric=metric, fusion=fusion
+    )  # [E, N*Q]
+    labels = ep.query_labels(n_way, n_query)[None, :]
+    return jnp.mean((preds == labels).astype(jnp.float32), axis=-1)
+
+
+def evaluate(
+    table: FeatureTable,
+    cfg: EvalConfig,
+    virtual: FeatureTable | None = None,
+) -> EvalResult:
+    """Run the full protocol: E episodes in device-steps, mean ± 95% CI."""
+    if cfg.embodied and virtual is None:
+        raise ValueError("embodied eval requires a virtual FeatureTable")
+    vf = virtual.features if (cfg.embodied and virtual) else None
+    vc = virtual.counts if (cfg.embodied and virtual) else None
+
+    key = jax.random.PRNGKey(cfg.seed)
+    accs = []
+    done = 0
+    step_i = 0
+    while done < cfg.n_episodes:
+        n_step = min(cfg.episodes_per_step, cfg.n_episodes - done)
+        acc = eval_step(
+            jax.random.fold_in(key, step_i),
+            table.features,
+            table.counts,
+            vf,
+            vc,
+            n_way=cfg.n_way,
+            k_shot=cfg.k_shot,
+            n_query=cfg.n_query,
+            n_step=n_step,
+            metric=cfg.metric,
+            fusion=cfg.fusion,
+        )
+        accs.append(np.asarray(acc))
+        done += n_step
+        step_i += 1
+
+    per_episode = np.concatenate(accs)
+    mean = float(per_episode.mean())
+    # 95% CI of the mean: 1.96 * sample std / sqrt(E)  (reference C10 rule)
+    std = float(per_episode.std(ddof=1)) if len(per_episode) > 1 else 0.0
+    ci = 1.96 * std / np.sqrt(len(per_episode))
+    return EvalResult(mean_acc=mean, ci95=float(ci), per_episode=per_episode)

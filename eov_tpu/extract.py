@@ -1,0 +1,159 @@
+"""Clip feature extraction pipeline: decode -> preprocess -> backbone -> store.
+
+Capability parity: reference component C6 + call stack §3.1 (SURVEY.md):
+iterate a dataset, TSN-sample K segment frames per clip, run the backbone,
+mean-pool segments into one 2048-d clip feature, persist to the feature
+cache.
+
+TPU-first (BASELINE.json:5,11):
+* The transform chain + backbone + consensus is ONE jitted device program
+  (`make_feature_fn`): uint8 frames in, clip features out — uint8 over PCIe
+  (4x less transfer than f32), resize/crop/normalize fused on device.
+* Host decode overlaps device compute via JAX's async dispatch: batch i's
+  result is materialized only after batch i+1 is decoded and enqueued
+  (software double-buffering; the native clip loader in runtime/ extends
+  this with threaded readahead). `deterministic=True` serializes for tests
+  (SURVEY.md §5 race detection).
+* Failure containment (SURVEY.md §5): decode errors skip-and-log instead of
+  killing a pod job; `fault_inject` exercises that path deterministically.
+* Resume: clips already in the store's manifest are skipped (§5 recovery).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eov_tpu.data.datasets import VideoDataset, VideoRecord
+from eov_tpu.data.store import FeatureStore
+from eov_tpu.models import resnet50_feature_apply
+from eov_tpu.ops import preprocess
+from eov_tpu.utils.metrics import MetricsWriter, Timer
+
+__all__ = ["ExtractConfig", "make_feature_fn", "extract_features"]
+
+log = logging.getLogger("eov.extract")
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtractConfig:
+    num_segments: int = 8          # K, BASELINE.json:8
+    batch_clips: int = 16          # clips per device batch
+    scale_size: int = 256
+    crop_size: int = 224
+    compute_dtype: str = "bfloat16"  # backbone MXU dtype
+    flush_every: int = 64          # clips per durable shard
+    deterministic: bool = False    # disable decode/compute overlap (tests)
+    fault_inject: float = 0.0      # P(decode failure) for failure-path tests
+    fault_seed: int = 0
+
+
+def _center_indices_np(num_frames: int, k: int) -> np.ndarray:
+    """Host-side exact TSN center sampling (mirrors data/segments.py)."""
+    idx = (num_frames * (2 * np.arange(k) + 1)) // (2 * k)
+    return np.minimum(idx, num_frames - 1)
+
+
+def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
+    """jitted: uint8 frames [B, K, H, W, 3] -> clip features [B, 2048].
+
+    Fuses preprocess (resize-matmul + crop + normalize), the ResNet-50
+    forward, and TSN mean consensus (C5) into one XLA program. Distinct
+    input resolutions trigger one recompile each (shapes are static); frame
+    storage should be resolution-normalized for production throughput.
+    """
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    @jax.jit
+    def feature_fn(frames_u8: jax.Array) -> jax.Array:
+        x = preprocess.preprocess_eval(
+            frames_u8,
+            scale_size=cfg.scale_size,
+            crop_size=cfg.crop_size,
+            dtype=dtype,
+        )  # [B, K, 224, 224, 3]
+        feats = resnet50_feature_apply(params, x, dtype=dtype)  # [B, K, D]
+        return jnp.mean(feats.astype(jnp.float32), axis=1)  # TSN consensus
+
+    return feature_fn
+
+
+def extract_features(
+    dataset: VideoDataset,
+    params,
+    store: FeatureStore,
+    cfg: ExtractConfig = ExtractConfig(),
+    metrics: MetricsWriter | None = None,
+    feature_fn: Callable | None = None,
+) -> dict:
+    """Run extraction over all records not yet in the store. Returns stats.
+
+    feature_fn overrides the default ResNet-50 pipeline (tests swap in a
+    cheap featurizer; the multi-chip path swaps in the sharded step from
+    parallel/).
+    """
+    metrics = metrics or MetricsWriter(None)
+    feature_fn = feature_fn or make_feature_fn(params, cfg)
+    done = store.done_ids()
+    todo = [r for r in dataset.records if r.video_id not in done]
+    fault_rng = np.random.default_rng(cfg.fault_seed)
+
+    stats = {"total": len(dataset.records), "skipped_done": len(done),
+             "extracted": 0, "failed": 0}
+    pending: tuple[list[VideoRecord], jax.Array] | None = None
+    since_flush = 0
+    timer = Timer()
+
+    def _materialize(p):
+        nonlocal since_flush
+        records, feats_dev = p
+        feats = np.asarray(feats_dev)
+        for rec, f in zip(records, feats):
+            store.put(rec.video_id, f, rec.label)
+        stats["extracted"] += len(records)
+        since_flush += len(records)
+        if since_flush >= cfg.flush_every:
+            store.flush()
+            since_flush = 0
+
+    def _decode_batch(batch: list[VideoRecord]):
+        oks, clips = [], []
+        for rec in batch:
+            try:
+                if cfg.fault_inject and fault_rng.random() < cfg.fault_inject:
+                    raise IOError(f"injected decode fault: {rec.video_id}")
+                idx = _center_indices_np(rec.num_frames, cfg.num_segments)
+                clips.append(dataset.get_frames(rec, idx))
+                oks.append(rec)
+            except Exception as e:  # noqa: BLE001 — containment by design
+                stats["failed"] += 1
+                log.warning("decode failed, skipping %s: %s", rec.video_id, e)
+                metrics.write("decode_failure", video_id=rec.video_id, error=str(e))
+        return oks, clips
+
+    for start in range(0, len(todo), cfg.batch_clips):
+        batch = todo[start : start + cfg.batch_clips]
+        oks, clips = _decode_batch(batch)
+        if oks:
+            frames = jnp.asarray(np.stack(clips))  # [B, K, H, W, 3] uint8
+            feats_dev = feature_fn(frames)  # async dispatch — returns now
+            if cfg.deterministic:
+                feats_dev.block_until_ready()
+            if pending is not None:
+                _materialize(pending)  # overlap: prior batch drains while
+            pending = (oks, feats_dev)  # this one computes
+        metrics.write(
+            "extract_batch", n=len(oks), failed=len(batch) - len(oks),
+            seconds=timer.lap(),
+        )
+
+    if pending is not None:
+        _materialize(pending)
+    store.flush()
+    metrics.write("extract_done", **stats)
+    return stats

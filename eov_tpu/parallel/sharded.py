@@ -1,0 +1,123 @@
+"""shard_map/pjit execution paths: pod extraction and multi-chip eval.
+
+SURVEY.md §2c build plan: data parallelism is the primary strategy — shard
+the clip batch (extraction, BASELINE.json:11) and the episode batch (eval,
+BASELINE.json:10) over the 'data' mesh axis; optionally shard a clip's K
+segment frames over the 'frame' axis and psum-mean-pool (the sequence-
+parallel analog; one ICI collective). Collectives are XLA's (`psum`), not
+hand-rolled rings — at 2048-d features the tree reduction XLA emits is
+already bandwidth-optimal on ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from eov_tpu import episodes as ep
+from eov_tpu.models import resnet50_feature_apply
+from eov_tpu.ops import preprocess, similarity
+from eov_tpu.parallel.mesh import DATA_AXIS, FRAME_AXIS
+
+__all__ = ["make_sharded_feature_fn", "make_sharded_eval_step"]
+
+
+def make_sharded_feature_fn(
+    params,
+    mesh: Mesh,
+    *,
+    scale_size: int = 256,
+    crop_size: int = 224,
+    compute_dtype=jnp.bfloat16,
+) -> Callable:
+    """Sharded clip featurizer: frames [B, K, H, W, 3] u8 -> features [B, D].
+
+    B is sharded over 'data', K over 'frame'. Each device preprocesses and
+    runs the backbone on its local [B/dp, K/fp] frame block, mean-pools its
+    local segments, then one psum over 'frame' completes the TSN consensus
+    (SURVEY.md §2c SP row: frame-axis sharding = one collective).
+    Params are replicated (25M params ≪ HBM; §2c TP row).
+    """
+
+    def local_fn(params, frames_u8):
+        x = preprocess.preprocess_eval(
+            frames_u8, scale_size=scale_size, crop_size=crop_size,
+            dtype=compute_dtype,
+        )
+        feats = resnet50_feature_apply(params, x, dtype=compute_dtype)
+        # Local segment sum; global mean via frame-axis psum.
+        local_sum = jnp.sum(feats.astype(jnp.float32), axis=1)
+        total = jax.lax.psum(local_sum, FRAME_AXIS)
+        k_local = frames_u8.shape[1]
+        k_global = k_local * jax.lax.psum(1, FRAME_AXIS)
+        return total / k_global
+
+    mapped = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, FRAME_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_rep=False,
+    )
+    return jax.jit(functools.partial(mapped, params))
+
+
+def make_sharded_eval_step(
+    mesh: Mesh,
+    *,
+    n_way: int,
+    k_shot: int,
+    n_query: int,
+    episodes_per_step: int,
+    metric: str = "cosine",
+    fusion: str = "max",
+) -> Callable:
+    """Multi-chip eval step: E episodes sharded over 'data'.
+
+    The feature table is replicated (C·M·D is MBs); each device samples and
+    scores its E/dp episodes locally from a folded key — the only
+    communication is the [E] accuracy all-gather XLA inserts at the output.
+    Episode sampling uses a per-shard key fold so the global episode set is
+    deterministic for a given (seed, mesh size).
+    """
+    dp = mesh.shape[DATA_AXIS]
+    if episodes_per_step % dp:
+        raise ValueError(
+            f"episodes_per_step={episodes_per_step} not divisible by data={dp}"
+        )
+    e_local = episodes_per_step // dp
+
+    def local_step(key, features, counts):
+        shard = jax.lax.axis_index(DATA_AXIS)
+        idx = ep.sample_episodes(
+            jax.random.fold_in(key, shard),
+            counts,
+            n_way=n_way,
+            k_shot=k_shot,
+            n_query=n_query,
+            n_episodes=e_local,
+            max_clips=features.shape[1],
+        )
+        sup = features[idx.class_ids[..., None], idx.support_idx]
+        qry = features[idx.class_ids[..., None], idx.query_idx]
+        mask = jnp.ones(sup.shape[:-1], jnp.float32)
+        qry_flat = qry.reshape(e_local, n_way * n_query, -1)
+        preds = similarity.predict(
+            qry_flat, sup, mask, metric=metric, fusion=fusion
+        )
+        labels = ep.query_labels(n_way, n_query)[None, :]
+        return jnp.mean((preds == labels).astype(jnp.float32), axis=-1)
+
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(DATA_AXIS),
+        check_rep=False,
+    )
+    return jax.jit(mapped)

@@ -1,0 +1,191 @@
+"""Meta-train finetune loop — TSN-style cross-entropy training, pjit DP.
+
+Capability parity: reference component C12 (SURVEY.md §2a, OPEN-4): finetune
+the ImageNet backbone on the meta-train classes before one-shot eval —
+TSN recipe: K-segment random sampling, consensus mean over segment logits,
+CE loss, SGD momentum with step-decayed LR.
+
+TPU-first: one jitted `train_step` over a ('data','frame') mesh — the clip
+batch is sharded over 'data' (and segments over 'frame' when used); gradient
+and BatchNorm batch-statistics reductions are the cross-device collectives
+XLA inserts from the shardings, not hand-written all-reduces (SURVEY.md
+§2c). bf16 compute, f32 params/optimizer state; checkpoints via orbax
+(utils of checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from eov_tpu.models.resnet import ResNet50
+from eov_tpu.ops import preprocess
+from eov_tpu.parallel.mesh import DATA_AXIS, FRAME_AXIS
+
+__all__ = ["TrainConfig", "TrainState", "create_train_state", "make_train_step",
+           "train_epoch_synthetic"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    num_classes: int = 64             # Kinetics-100 CMN meta-train classes
+    num_segments: int = 3             # TSN train-time K
+    batch_clips: int = 32             # global batch
+    lr: float = 0.001
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    lr_decay_steps: int = 1500        # step-decay interval
+    lr_decay_rate: float = 0.1
+    compute_dtype: str = "bfloat16"
+    scale_size: int = 256
+    crop_size: int = 224
+    seed: int = 0
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def _make_tx(cfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.exponential_decay(
+        cfg.lr, cfg.lr_decay_steps, cfg.lr_decay_rate, staircase=True
+    )
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.sgd(schedule, momentum=cfg.momentum),
+    )
+
+
+def _model(cfg: TrainConfig):
+    return ResNet50(
+        num_classes=cfg.num_classes,
+        dtype=jnp.dtype(cfg.compute_dtype),
+        use_running_average=False,
+    )
+
+
+def create_train_state(
+    cfg: TrainConfig, rng: jax.Array, sample_hw: tuple[int, int] = (224, 224)
+) -> TrainState:
+    model = _model(cfg)
+    variables = model.init(
+        rng, jnp.zeros((1, *sample_hw, 3), jnp.float32), train=False
+    )
+    tx = _make_tx(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+    )
+
+
+def make_train_step(cfg: TrainConfig, mesh: Mesh | None = None) -> Callable:
+    """Jitted TSN train step: (state, frames_u8 [B,K,H,W,3], labels [B], key).
+
+    With a mesh, the batch is sharded (B over 'data', K over 'frame') and the
+    state replicated; XLA turns the loss/grad/BN-stat reductions into ICI
+    collectives. Segment consensus is mean over segment *logits* (TSN rule).
+    """
+    model = _model(cfg)
+    tx = _make_tx(cfg)
+
+    def loss_fn(params, batch_stats, frames_u8, labels, key):
+        b, k = frames_u8.shape[0], frames_u8.shape[1]
+        keys = jax.random.split(key, b)
+        x = jax.vmap(
+            lambda kk, clip: preprocess.preprocess_train(
+                kk, clip, scale_size=cfg.scale_size, crop_size=cfg.crop_size,
+                dtype=jnp.dtype(cfg.compute_dtype),
+            )
+        )(keys, frames_u8)  # [B, K, crop, crop, 3]
+        flat = x.reshape((b * k,) + x.shape[2:])
+        logits, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            flat,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        logits = logits.reshape(b, k, -1).mean(axis=1)  # TSN consensus
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels
+        ).mean()
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        return loss, (updates["batch_stats"], acc)
+
+    def train_step(state: TrainState, frames_u8, labels, key):
+        (loss, (new_stats, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, frames_u8, labels, key)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    batch_shard = NamedSharding(mesh, P(DATA_AXIS, FRAME_AXIS))
+    label_shard = NamedSharding(mesh, P(DATA_AXIS))
+    # State/key replicated (pytree-prefix shardings), batch sharded: XLA
+    # derives the grad/BN psums over 'data' x 'frame' from these.
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, batch_shard, label_shard, repl),
+        donate_argnums=(0,),
+    )
+
+
+def train_epoch_synthetic(
+    state: TrainState,
+    step_fn: Callable,
+    cfg: TrainConfig,
+    dataset,
+    *,
+    epoch: int = 0,
+) -> tuple[TrainState, dict]:
+    """Host loop driving step_fn over a VideoDataset with random TSN sampling.
+
+    Used by the CLI finetune entry point and tests; pod-scale training
+    feeds per-host shards instead (parallel/distributed.py).
+    """
+    import numpy as np
+
+    from eov_tpu.data import segments as seg
+
+    rng = np.random.default_rng(cfg.seed + epoch)
+    order = rng.permutation(len(dataset.records))
+    key = jax.random.PRNGKey(cfg.seed + epoch)
+    last = {}
+    for start in range(0, len(order) - cfg.batch_clips + 1, cfg.batch_clips):
+        batch_recs = [dataset.records[i] for i in order[start : start + cfg.batch_clips]]
+        clips, labels = [], []
+        for r in batch_recs:
+            # Host-side TSN random sampling (train rule, C2).
+            k = cfg.num_segments
+            avg = r.num_frames // k
+            if avg > 0:
+                idx = np.arange(k) * avg + rng.integers(0, avg, size=k)
+            else:
+                idx = np.sort(rng.integers(0, r.num_frames, size=k))
+            clips.append(dataset.get_frames(r, idx))
+            labels.append(r.label)
+        frames = jnp.asarray(np.stack(clips))
+        labels = jnp.asarray(np.array(labels, np.int32))
+        key, sub = jax.random.split(key)
+        state, last = step_fn(state, frames, labels, sub)
+    return state, {k: float(v) for k, v in last.items()}

@@ -1,0 +1,141 @@
+"""Eval harness + feature store + synthetic end-to-end slice (SURVEY.md §4.4).
+
+The featurizer here is a cheap downsample-projection (not ResNet) so the
+full pipeline — fixtures -> extract -> store -> episodes -> matcher -> CI —
+runs in seconds on 1 CPU core; ResNet-featured E2E lives in test_e2e.py.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from eov_tpu import eval as eov_eval
+from eov_tpu import extract
+from eov_tpu.data.datasets import SyntheticVideoDataset
+from eov_tpu.data.store import FeatureStore
+from eov_tpu.embodied import align_virtual_bank
+
+
+@jax.jit
+def _cheap_feature_fn(frames_u8):
+    # [B, K, H, W, 3] -> [B, D]: spatial mean over coarse cells, K-mean.
+    x = frames_u8.astype(jnp.float32) / 255.0
+    b, k, h, w, c = x.shape
+    # 16x20 cell grid: fine enough to resolve the class gratings' spatial
+    # frequencies (8x8 aliases them together).
+    x = x.reshape(b, k, 16, h // 16, 20, w // 20, c).mean(axis=(3, 5))
+    return x.mean(axis=1).reshape(b, -1)
+
+
+def _extract_to_store(tmp_path, name="s", n_classes=6, clips=6, seed=0,
+                      fault=0.0):
+    ds = SyntheticVideoDataset(
+        n_classes=n_classes, clips_per_class=clips, height=64, width=80,
+        seed=seed, name=name,
+    )
+    store = FeatureStore(str(tmp_path / name), class_names=ds.class_names)
+    cfg = extract.ExtractConfig(
+        num_segments=4, batch_clips=8, deterministic=True, fault_inject=fault
+    )
+    stats = extract.extract_features(
+        ds, None, store, cfg, feature_fn=_cheap_feature_fn
+    )
+    return ds, store, stats
+
+
+def test_extract_and_store_roundtrip(tmp_path):
+    ds, store, stats = _extract_to_store(tmp_path)
+    assert stats["extracted"] == len(ds.records)
+    table = store.to_table()
+    assert table.features.shape[0] == 6
+    assert int(np.asarray(table.counts).sum()) == len(ds.records)
+
+
+def test_extract_resume_skips_done(tmp_path):
+    ds, store, stats = _extract_to_store(tmp_path, name="r")
+    # Re-open the store and re-run: everything already durable.
+    store2 = FeatureStore(str(tmp_path / "r"))
+    stats2 = extract.extract_features(
+        ds, None, store2,
+        extract.ExtractConfig(num_segments=4, deterministic=True),
+        feature_fn=_cheap_feature_fn,
+    )
+    assert stats2["extracted"] == 0
+    assert stats2["skipped_done"] == len(ds.records)
+
+
+def test_fault_injection_skips_and_continues(tmp_path):
+    ds, store, stats = _extract_to_store(tmp_path, name="f", fault=0.3)
+    assert stats["failed"] > 0
+    assert stats["extracted"] == len(ds.records) - stats["failed"]
+    # Failed clips are absent, not corrupt.
+    table = store.to_table()
+    assert int(np.asarray(table.counts).sum()) == stats["extracted"]
+
+
+def test_eval_separable_features_high_accuracy(tmp_path):
+    # Synthetic classes are separable under the cheap featurizer -> the
+    # full episodic protocol should score near-perfect, far above 1/N chance.
+    _, store, _ = _extract_to_store(tmp_path, name="e", n_classes=8, clips=8)
+    table = store.to_table()
+    cfg = eov_eval.EvalConfig(n_way=5, n_episodes=120, episodes_per_step=40,
+                              n_query=2, seed=3)
+    res = eov_eval.evaluate(table, cfg)
+    assert res.per_episode.shape == (120,)
+    assert res.mean_acc > 0.9, res
+    assert 0 <= res.ci95 < 0.2
+    # Determinism of the protocol.
+    res2 = eov_eval.evaluate(table, cfg)
+    np.testing.assert_array_equal(res.per_episode, res2.per_episode)
+
+
+def test_eval_random_features_chance_accuracy(tmp_path):
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((10, 6, 32)).astype(np.float32))
+    counts = jnp.full((10,), 6, jnp.int32)
+    table = eov_eval.FeatureTable(feats, counts)
+    cfg = eov_eval.EvalConfig(n_way=5, n_episodes=200, episodes_per_step=50,
+                              n_query=1, seed=0)
+    res = eov_eval.evaluate(table, cfg)
+    assert abs(res.mean_acc - 0.2) < 0.08, res  # 5-way chance = 0.2
+
+
+def test_embodied_virtual_bank_improves_separation(tmp_path):
+    # Real table gets noisy features; virtual bank gets clean class means.
+    # Embodied union-max should beat plain 1-shot on the same episodes.
+    rng = np.random.default_rng(1)
+    c, m, d = 8, 6, 16
+    protos = rng.standard_normal((c, 1, d)).astype(np.float32) * 3
+    real = protos + rng.standard_normal((c, m, d)).astype(np.float32) * 3.5
+    table = eov_eval.FeatureTable(
+        jnp.asarray(real), jnp.full((c,), m, jnp.int32)
+    )
+    virt = eov_eval.FeatureTable(
+        jnp.asarray(np.repeat(protos, 2, axis=1)), jnp.full((c,), 2, jnp.int32)
+    )
+    names = [f"k_{i}" for i in range(c)]
+    bank = align_virtual_bank(names, names, virt)
+    cfg = eov_eval.EvalConfig(n_way=5, n_episodes=150, episodes_per_step=50,
+                              n_query=2, seed=5)
+    plain = eov_eval.evaluate(table, cfg)
+    emb = eov_eval.evaluate(
+        table, eov_eval.EvalConfig(**{**cfg.__dict__, "embodied": True}),
+        virtual=bank,
+    )
+    assert emb.mean_acc > plain.mean_acc + 0.05, (plain, emb)
+
+
+def test_align_virtual_bank_name_normalization():
+    vt = eov_eval.FeatureTable(
+        jnp.ones((2, 3, 4)), jnp.asarray([3, 2], jnp.int32)
+    )
+    bank = align_virtual_bank(
+        ["High Jump", "push_ups", "NoMatch"],
+        ["HighJump", "PushUps"],
+        vt,
+    )
+    counts = np.asarray(bank.counts)
+    np.testing.assert_array_equal(counts, [3, 2, 0])
+    with pytest.raises(KeyError):
+        align_virtual_bank(["zzz"], ["HighJump"], vt, strict=True)

@@ -1,0 +1,117 @@
+"""Multi-chip paths on the virtual 8-device CPU mesh (SURVEY.md §4.5).
+
+Asserts sharded == single-device numerics and that the pjit train step
+executes with real shardings (grad/BN collectives inserted by XLA).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eov_tpu.parallel import make_mesh, DATA_AXIS, FRAME_AXIS
+from eov_tpu.parallel import sharded
+from eov_tpu import train as eov_train
+
+
+@pytest.fixture(scope="module")
+def devices8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (conftest sets XLA_FLAGS)")
+    return jax.devices()[:8]
+
+
+@pytest.fixture(scope="module")
+def small_params():
+    from eov_tpu.models import ResNet50
+
+    model = ResNet50(dtype=jnp.float32)
+    return model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+
+
+def test_mesh_shapes(devices8):
+    mesh = make_mesh(4, 2, devices=devices8)
+    assert mesh.shape == {DATA_AXIS: 4, FRAME_AXIS: 2}
+    with pytest.raises(ValueError):
+        make_mesh(8, 3, devices=devices8)
+
+
+def test_sharded_features_match_single_device(devices8, small_params):
+    # 8 clips x 4 segments sharded over data=4, frame=2 must equal the
+    # unsharded computation exactly (mean-pool is order-independent here).
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (8, 4, 40, 48, 3), dtype=np.uint8)
+
+    mesh = make_mesh(4, 2, devices=devices8)
+    fn = sharded.make_sharded_feature_fn(
+        small_params, mesh, scale_size=36, crop_size=32,
+        compute_dtype=jnp.float32,
+    )
+    got = np.asarray(fn(jnp.asarray(frames)))
+
+    from eov_tpu.ops import preprocess
+    from eov_tpu.models import resnet50_feature_apply
+
+    x = preprocess.preprocess_eval(
+        jnp.asarray(frames), scale_size=36, crop_size=32, dtype=jnp.float32
+    )
+    feats = resnet50_feature_apply(small_params, x, dtype=jnp.float32)
+    want = np.asarray(jnp.mean(feats, axis=1))
+    assert got.shape == want.shape == (8, 2048)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_eval_step_runs_and_is_deterministic(devices8):
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.standard_normal((10, 6, 64)).astype(np.float32))
+    counts = jnp.full((10,), 6, jnp.int32)
+    mesh = make_mesh(8, 1, devices=devices8)
+    step = sharded.make_sharded_eval_step(
+        mesh, n_way=5, k_shot=1, n_query=2, episodes_per_step=32
+    )
+    key = jax.random.PRNGKey(0)
+    acc1 = np.asarray(step(key, feats, counts))
+    acc2 = np.asarray(step(key, feats, counts))
+    assert acc1.shape == (32,)
+    np.testing.assert_array_equal(acc1, acc2)
+    assert ((acc1 >= 0) & (acc1 <= 1)).all()
+
+
+def test_sharded_eval_rejects_indivisible():
+    mesh = make_mesh(2, 1, devices=jax.devices()[:2])
+    with pytest.raises(ValueError):
+        sharded.make_sharded_eval_step(
+            mesh, n_way=5, k_shot=1, n_query=1, episodes_per_step=33
+        )
+
+
+def test_train_step_dp_runs_and_learns(devices8):
+    cfg = eov_train.TrainConfig(
+        num_classes=4, num_segments=2, batch_clips=8,
+        lr=0.01, compute_dtype="float32", scale_size=36, crop_size=32,
+    )
+    mesh = make_mesh(4, 2, devices=devices8)
+    state = eov_train.create_train_state(
+        cfg, jax.random.PRNGKey(0), sample_hw=(32, 32)
+    )
+    step = eov_train.make_train_step(cfg, mesh)
+
+    rng = np.random.default_rng(0)
+    # Class-colored frames: trivially learnable.
+    labels_np = rng.integers(0, 4, size=8)
+    frames = np.zeros((8, 2, 40, 48, 3), np.uint8)
+    for i, l in enumerate(labels_np):
+        frames[i, ..., l % 3] = 60 * (l + 1)
+    frames_j = jnp.asarray(frames)
+    labels_j = jnp.asarray(labels_np.astype(np.int32))
+
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(8):
+        key, sub = jax.random.split(key)
+        state, m = step(state, frames_j, labels_j, sub)
+        losses.append(float(m["loss"]))
+    assert int(state.step) == 8
+    # SGD on a fresh net overshoots on step 1-2; require recovery + descent.
+    assert losses[-1] < max(losses[:3]), losses
+    assert all(np.isfinite(losses)), losses

@@ -1,0 +1,125 @@
+"""EOVC container + native loader tests (SURVEY.md §2b N4, §5 race detection).
+
+Round-trips raw and JPEG shards through the python writer, then reads via
+both the pure-python reader and (when the toolchain builds it) the native
+threaded loader, asserting identical bytes and async==sync results.
+"""
+
+import numpy as np
+import pytest
+
+from eov_tpu.data.datasets import EovcVideoDataset, SyntheticVideoDataset
+from eov_tpu.runtime import eovc
+from eov_tpu.runtime.native import NativeClipLoader, native_available
+from eov_tpu.tools.pack_eovc import pack
+
+
+@pytest.fixture(scope="module")
+def raw_shard(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("eovc") / "raw.eovc")
+    ds = SyntheticVideoDataset(n_classes=3, clips_per_class=2, height=40,
+                               width=56, min_frames=6, max_frames=10, seed=1)
+    n = pack(ds, path, storage_short_side=None, codec="raw")
+    assert n == 6
+    return path, ds
+
+
+@pytest.fixture(scope="module")
+def jpeg_shard(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("eovc") / "j.eovc")
+    ds = SyntheticVideoDataset(n_classes=2, clips_per_class=2, height=40,
+                               width=56, min_frames=6, max_frames=8, seed=2)
+    pack(ds, path, storage_short_side=None, codec="jpeg")
+    return path, ds
+
+
+def test_python_reader_roundtrip(raw_shard):
+    path, ds = raw_shard
+    r = eovc.EovcReader(path)
+    assert len(r.clips) == len(ds.records)
+    for i, rec in enumerate(ds.records):
+        assert r.clips[i].video_id == rec.video_id
+        assert r.clips[i].label == rec.label
+        want = ds.get_frames(rec, np.arange(rec.num_frames))
+        got = r.load_frames(i, list(range(rec.num_frames)))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_native_loader_matches_python(raw_shard):
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    path, ds = raw_shard
+    nl = NativeClipLoader(path, n_threads=4)
+    r = eovc.EovcReader(path)
+    assert nl.n_clips == len(ds.records)
+    vid, label, nf = nl.clip_info(0)
+    assert vid == ds.records[0].video_id
+    assert nf == ds.records[0].num_frames
+
+    idx = np.array([[0, 2, 4], [1, 3, 5]], np.int32)
+    batch = nl.load_batch([0, 1], idx)
+    assert batch.shape == (2, 3, 40, 56, 3)
+    for b in range(2):
+        np.testing.assert_array_equal(
+            batch[b], r.load_frames(b, idx[b].tolist())
+        )
+    nl.close()
+
+
+def test_native_async_submit_wait(raw_shard):
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    path, _ = raw_shard
+    nl = NativeClipLoader(path, n_threads=2)
+    idx0 = np.array([[0, 1, 2]], np.int32)
+    idx1 = np.array([[3, 4, 5]], np.int32)
+    # Double-buffered: two submits in flight, FIFO waits.
+    nl.submit([0], idx0)
+    nl.submit([1], idx1)
+    a = nl.wait()
+    b = nl.wait()
+    np.testing.assert_array_equal(a, nl.load_batch([0], idx0))
+    np.testing.assert_array_equal(b, nl.load_batch([1], idx1))
+    with pytest.raises(RuntimeError):
+        nl.wait()
+    nl.close()
+
+
+def test_native_jpeg_decode_close_to_source(jpeg_shard):
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    path, ds = jpeg_shard
+    nl = NativeClipLoader(path)
+    assert nl.codec == eovc.CODEC_JPEG
+    rec = ds.records[0]
+    src = ds.get_frames(rec, np.arange(4))
+    got = nl.load_batch([0], np.arange(4, dtype=np.int32)[None, :])[0]
+    # JPEG q90 round trip: small lossy error.
+    err = np.abs(got.astype(np.int16) - src.astype(np.int16)).mean()
+    assert err < 8.0, err  # synthetic gratings are JPEG-hostile
+    nl.close()
+
+
+def test_native_out_of_range_frame_errors(raw_shard):
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    path, _ = raw_shard
+    nl = NativeClipLoader(path)
+    with pytest.raises(IOError):
+        nl.load_batch([0], np.array([[999]], np.int32))
+    nl.close()
+
+
+def test_eovc_dataset_protocol(raw_shard):
+    path, ds = raw_shard
+    eds = EovcVideoDataset(path)
+    assert len(eds.records) == len(ds.records)
+    rec = eds.records[2]
+    idx = np.array([0, 1])
+    np.testing.assert_array_equal(
+        eds.get_frames(rec, idx),
+        ds.get_frames(ds.records[2], idx),
+    )
+    # Batch path.
+    batch = eds.get_batch(eds.records[:2], np.array([[0, 1], [1, 2]]))
+    assert batch.shape == (2, 2, 40, 56, 3)
