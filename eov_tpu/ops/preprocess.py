@@ -61,8 +61,12 @@ def preprocess_eval(
 
     Matches the reference's deterministic test-time transforms: short-side
     resize (PIL-antialiased semantics) -> center crop -> /255 -> normalize.
+
+    The resize runs in the requested compute dtype (bf16 halves the HBM
+    traffic of the pre-crop intermediate on TPU; f32 keeps exact parity for
+    golden tests) with f32 MXU accumulation either way.
     """
-    x = frames_u8.astype(jnp.float32)
+    x = frames_u8.astype(dtype)
     x = resize_ops.resize_short_side(x, scale_size)
     x = center_crop(x, crop_size)
     return normalize(x, dtype)

@@ -88,15 +88,19 @@ def resize_weights_cached(in_size: int, out_size: int) -> np.ndarray:
 
 
 def resize_hw(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    """Resize [..., H, W, C] float -> [..., out_h, out_w, C] via two matmuls."""
+    """Resize [..., H, W, C] float -> [..., out_h, out_w, C] via two matmuls.
+
+    Runs in the input dtype (bf16 on the TPU throughput path — halves HBM
+    traffic for the big pre-crop intermediates) with f32 MXU accumulation;
+    output keeps the input dtype.
+    """
     h, w = img.shape[-3], img.shape[-2]
-    wh = jnp.asarray(resize_weights_cached(h, out_h))
-    ww = jnp.asarray(resize_weights_cached(w, out_w))
-    # Contract H then W; keep f32 accumulation on the MXU.
+    wh = jnp.asarray(resize_weights_cached(h, out_h)).astype(img.dtype)
+    ww = jnp.asarray(resize_weights_cached(w, out_w)).astype(img.dtype)
     y = jnp.einsum("oh,...hwc->...owc", wh, img,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32).astype(img.dtype)
     y = jnp.einsum("pw,...owc->...opc", ww, y,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32).astype(img.dtype)
     return y
 
 
