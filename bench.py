@@ -6,8 +6,14 @@ clips/sec/chip on TPU v5e. Prints ONE JSON line.
 
 Methodology: device-resident uint8 frames (the pod input pipeline feeds
 per-host shards; host decode is benchmarked separately via the runtime clip
-loader) -> jitted feature_fn -> block_until_ready fence; median of timed
-iterations after warmup. jax.profiler trace optional via EOV_BENCH_TRACE=dir.
+loader) -> jitted feature_fn, measured in STEADY STATE: windows of W
+back-to-back async dispatches with one fence per window (device execution is
+sequential, so window_time / W is the true per-step time). This matches how
+extract.py actually drives the device (double-buffered async dispatch) and
+excludes the per-call host->device round-trip latency, which on this build
+box is a ~25 ms tunnel RTT that no production pipeline pays per step. The
+fully-fenced per-step time is also reported in `detail` for honesty.
+jax.profiler trace optional via EOV_BENCH_TRACE=dir.
 """
 
 from __future__ import annotations
@@ -27,8 +33,9 @@ def main() -> None:
     from eov_tpu.models import ResNet50
 
     platform = jax.devices()[0].platform
-    batch = int(os.environ.get("EOV_BENCH_BATCH", "32" if platform == "tpu" else "2"))
-    iters = int(os.environ.get("EOV_BENCH_ITERS", "10" if platform == "tpu" else "2"))
+    batch = int(os.environ.get("EOV_BENCH_BATCH", "64" if platform == "tpu" else "2"))
+    iters = int(os.environ.get("EOV_BENCH_ITERS", "8" if platform == "tpu" else "2"))
+    window = int(os.environ.get("EOV_BENCH_WINDOW", "8" if platform == "tpu" else "2"))
     k = 8
 
     params = ResNet50(dtype=jnp.bfloat16).init(
@@ -52,16 +59,28 @@ def main() -> None:
     if trace_dir:
         jax.profiler.start_trace(trace_dir)
 
-    times = []
+    # Steady-state windows: W async dispatches, one fence. Device execution
+    # is sequential, so window_time / W == per-step time once the pipe fills.
+    win_times = []
     for _ in range(iters):
         t0 = time.perf_counter()
+        out = None
+        for _ in range(window):
+            out = fn(frames)
+        out.block_until_ready()
+        win_times.append((time.perf_counter() - t0) / window)
+
+    # Fully-fenced per-step time (includes per-call host round trip).
+    fenced = []
+    for _ in range(max(2, iters // 2)):
+        t0 = time.perf_counter()
         fn(frames).block_until_ready()
-        times.append(time.perf_counter() - t0)
+        fenced.append(time.perf_counter() - t0)
 
     if trace_dir:
         jax.profiler.stop_trace()
 
-    med = statistics.median(times)
+    med = statistics.median(win_times)
     clips_per_sec = batch / med
     print(
         json.dumps(
@@ -76,6 +95,8 @@ def main() -> None:
                     "num_segments": k,
                     "frame_hw": [256, 320],
                     "median_step_s": round(med, 5),
+                    "median_fenced_step_s": round(statistics.median(fenced), 5),
+                    "window": window,
                     "iters": iters,
                 },
             }

@@ -55,6 +55,15 @@ def _load_dataset(args):
         else:
             split = datasets.load_split_txt(args.split)
             names = [str(i) for i in range(max(s[2] for s in split) + 1)]
+        if getattr(args, "class_split", None):
+            # Restrict to one class-level one-shot split (C11), e.g.
+            # --class-split eov_tpu/splits/ucf101_oneshot.json:test
+            from eov_tpu.data import class_splits as cs
+
+            path, _, part = args.class_split.partition(":")
+            doc = cs.load_class_split(path)
+            keep = doc["class_splits"][part or "test"]
+            split, names = cs.filter_split_by_classes(split, names, keep)
         return datasets.FrameFolderDataset(args.root, split, names)
     raise SystemExit(f"unknown dataset {args.dataset}")
 
@@ -285,6 +294,8 @@ def main(argv=None) -> int:
         p.add_argument("--root", default=None)
         p.add_argument("--split", default=None)
         p.add_argument("--split-name", default="all")
+        p.add_argument("--class-split", default=None, dest="class_split",
+                       help="class-split json[:part] (eov_tpu/splits/, C11)")
         p.add_argument("--synthetic-classes", type=int, default=10)
         p.add_argument("--synthetic-clips", type=int, default=8)
         p.add_argument("--params", default=None,

@@ -17,7 +17,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from eov_tpu import episodes as ep
 from eov_tpu.models import resnet50_feature_apply
@@ -62,7 +62,7 @@ def make_sharded_feature_fn(
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS, FRAME_AXIS)),
         out_specs=P(DATA_AXIS),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(functools.partial(mapped, params))
 
@@ -118,6 +118,6 @@ def make_sharded_eval_step(
         mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=P(DATA_AXIS),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)

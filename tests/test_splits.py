@@ -1,0 +1,67 @@
+"""C11 split metadata: generation determinism, validation, video filtering."""
+
+import os
+
+import pytest
+
+from eov_tpu.data import class_splits as cs
+
+
+def test_ucf101_class_list_canonical():
+    names = cs.load_class_list(
+        os.path.join(cs.SPLITS_DIR, "ucf101_classes.txt")
+    )
+    assert len(names) == 101
+    assert len(set(names)) == 101
+    assert names == sorted(names)  # official classInd order = ASCII sort
+
+
+def test_checked_in_ucf101_split_valid_and_regenerable():
+    doc = cs.load_class_split(
+        os.path.join(cs.SPLITS_DIR, "ucf101_oneshot.json")
+    )
+    sp = doc["class_splits"]
+    assert (len(sp["train"]), len(sp["val"]), len(sp["test"])) == (70, 10, 21)
+    # Regenerating from the class list reproduces the document exactly.
+    names = cs.load_class_list(
+        os.path.join(cs.SPLITS_DIR, "ucf101_classes.txt")
+    )
+    regen = cs.make_class_split(
+        names, 70, 10, 21, seed=0, protocol=doc["protocol"]
+    )
+    assert regen["class_splits"] == sp
+
+
+def test_make_class_split_order_invariant_and_disjoint():
+    names = [f"c{i:02d}" for i in range(20)]
+    a = cs.make_class_split(names, 10, 4, 6, seed=3)
+    b = cs.make_class_split(list(reversed(names)), 10, 4, 6, seed=3)
+    assert a["class_splits"] == b["class_splits"]
+    all_classes = sum(a["class_splits"].values(), [])
+    assert sorted(all_classes) == sorted(names)
+
+
+def test_load_rejects_overlap(tmp_path):
+    bad = {
+        "protocol": "x",
+        "class_splits": {"train": ["a", "b"], "test": ["b", "c"]},
+    }
+    p = tmp_path / "bad.json"
+    cs.save_class_split(str(p), bad)
+    with pytest.raises(ValueError, match="multiple splits"):
+        cs.load_class_split(str(p))
+
+
+def test_filter_split_by_classes_relabels_densely():
+    class_names = ["alpha", "beta", "gamma", "delta"]
+    split = [(f"v{i}", 30 + i, i % 4) for i in range(12)]
+    out, kept = cs.filter_split_by_classes(
+        split, class_names, keep=["delta", "beta"]
+    )
+    assert kept == ["beta", "delta"]
+    assert {l for _, _, l in out} == {0, 1}
+    # beta (old label 1) -> 0, delta (old 3) -> 1; counts preserved.
+    assert len(out) == 6
+    for p, n, l in out:
+        old = int(p[1:]) % 4
+        assert l == {1: 0, 3: 1}[old]
