@@ -47,6 +47,7 @@ class ExtractConfig:
     scale_size: int = 256
     crop_size: int = 224
     compute_dtype: str = "bfloat16"  # backbone MXU dtype
+    fold_bn: bool = True           # fold inference BN into conv kernels
     flush_every: int = 64          # clips per durable shard
     deterministic: bool = False    # disable decode/compute overlap (tests)
     fault_inject: float = 0.0      # P(decode failure) for failure-path tests
@@ -68,6 +69,11 @@ def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
     storage should be resolution-normalized for production throughput.
     """
     dtype = jnp.dtype(cfg.compute_dtype)
+    folded = cfg.fold_bn and "batch_stats" in params
+    if folded:
+        from eov_tpu.models.resnet import fold_batchnorm
+
+        params = fold_batchnorm(params)
 
     @jax.jit
     def feature_fn(frames_u8: jax.Array) -> jax.Array:
@@ -77,7 +83,9 @@ def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
             crop_size=cfg.crop_size,
             dtype=dtype,
         )  # [B, K, 224, 224, 3]
-        feats = resnet50_feature_apply(params, x, dtype=dtype)  # [B, K, D]
+        feats = resnet50_feature_apply(
+            params, x, dtype=dtype, folded=folded
+        )  # [B, K, D]
         return jnp.mean(feats.astype(jnp.float32), axis=1)  # TSN consensus
 
     return feature_fn

@@ -29,9 +29,29 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["ResNet", "ResNet18", "ResNet34", "ResNet50", "ResNet101",
-           "ResNet152", "resnet50_feature_apply"]
+           "ResNet152", "resnet50_feature_apply", "fold_batchnorm"]
 
 ModuleDef = Any
+
+
+class FoldedBias(nn.Module):
+    """Inference-folded BatchNorm: a per-channel bias add in compute dtype.
+
+    Used with ``ResNet(folded=True)`` on variables produced by
+    ``fold_batchnorm`` — the BN scale/statistics have been folded into the
+    preceding conv's kernel, so all that remains is ``x + bias``. Keeping it
+    in the compute dtype (bf16 on TPU) removes the f32 upcast/downcast
+    round-trip that inference-mode BatchNorm pays per layer.
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        bias = self.param(
+            "bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32
+        )
+        return x + bias.astype(self.dtype)
 
 
 class Bottleneck(nn.Module):
@@ -126,6 +146,12 @@ class ResNet(nn.Module):
     width: int = 64
     dtype: Any = jnp.float32
     use_running_average: bool = True  # inference-mode BN by default
+    folded: bool = False  # BN folded into convs (fold_batchnorm variables)
+    # TSN finetune details (reference C12 lineage): partial_bn freezes every
+    # BN except the first (stem bn1) during training — stats and normalization
+    # both use the running averages; dropout_rate applies before the fc head.
+    partial_bn: bool = False
+    dropout_rate: float = 0.0
     # None = backend default (bf16-truncated conv inputs on CPU/TPU — the
     # production TPU setting). Parity tests pass Precision.HIGHEST for true
     # f32 accumulation against the torch reference.
@@ -141,14 +167,28 @@ class ResNet(nn.Module):
             param_dtype=jnp.float32,
             precision=self.precision,
         )
-        norm = functools.partial(
-            nn.BatchNorm,
-            use_running_average=use_ra,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=jnp.float32,  # BN math in f32 regardless of compute dtype
-            param_dtype=jnp.float32,
-        )
+        if self.folded:
+            if train:
+                raise ValueError("folded BN is inference-only")
+            norm = functools.partial(FoldedBias, dtype=self.dtype)
+        else:
+            bn_count = [0]
+            base_norm = functools.partial(
+                nn.BatchNorm,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,  # BN math in f32 regardless of compute dtype
+                param_dtype=jnp.float32,
+            )
+
+            def norm(**kw):
+                # partial_bn: only the first BN trains; the rest stay frozen
+                # on running stats (TSN rule — module instantiation order is
+                # static, stem bn1 is always index 0).
+                i = bn_count[0]
+                bn_count[0] += 1
+                frozen = self.partial_bn and i > 0
+                return base_norm(use_running_average=use_ra or frozen, **kw)
 
         x = x.astype(self.dtype)
         x = conv(self.width, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
@@ -174,6 +214,8 @@ class ResNet(nn.Module):
         x = jnp.mean(x, axis=(-3, -2))  # global average pool over H, W
         x = x.astype(jnp.float32)
         if self.num_classes is not None:
+            if self.dropout_rate > 0:
+                x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
             x = nn.Dense(self.num_classes, dtype=jnp.float32, name="fc")(x)
         return x
 
@@ -185,15 +227,61 @@ ResNet101 = functools.partial(ResNet, stage_sizes=(3, 4, 23, 3), block_cls=Bottl
 ResNet152 = functools.partial(ResNet, stage_sizes=(3, 8, 36, 3), block_cls=Bottleneck)
 
 
+_BN_PARTNER = {
+    "conv1": "bn1",
+    "conv2": "bn2",
+    "conv3": "bn3",
+    "downsample_conv": "downsample_bn",
+}
+
+
+def fold_batchnorm(variables, eps: float = 1e-5):
+    """Fold inference BN into conv kernels -> variables for ResNet(folded=True).
+
+    Standard inference rewrite: with s = gamma / sqrt(var + eps),
+        BN(conv(x)) = conv'(x) + b'   where  K' = K * s,  b' = beta - mean * s.
+    The returned tree has each BN module replaced by a FoldedBias {bias: b'}
+    and no batch_stats collection. Conv arithmetic is unchanged (scaling a
+    kernel is exact in f32), so folded == unfolded to float rounding; the
+    throughput win is dropping BN's per-layer f32 round-trip (~halves the
+    non-conv elementwise work of the inference path).
+    """
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def fold_module(p: dict, s: dict) -> dict:
+        out = {}
+        for name, sub in p.items():
+            if name in _BN_PARTNER and _BN_PARTNER[name] in p:
+                bn = p[_BN_PARTNER[name]]
+                st = s[_BN_PARTNER[name]]
+                scale = bn["scale"] / jnp.sqrt(st["var"] + eps)
+                out[name] = {"kernel": sub["kernel"] * scale}
+                out[_BN_PARTNER[name]] = {
+                    "bias": bn["bias"] - st["mean"] * scale
+                }
+            elif name.startswith(("bn", "downsample_bn")):
+                continue  # handled with its conv partner
+            elif isinstance(sub, dict) and name in s:
+                out[name] = fold_module(sub, s[name])
+            else:
+                out[name] = sub  # e.g. the fc head
+        return out
+
+    return {"params": fold_module(params, stats)}
+
+
 def resnet50_feature_apply(
-    params, frames: jax.Array, *, dtype=jnp.bfloat16
+    params, frames: jax.Array, *, dtype=jnp.bfloat16, folded: bool = False
 ) -> jax.Array:
     """Pure apply: frames [..., H, W, 3] float -> features [..., 2048].
 
     Leading dims are flattened for the conv stack and restored after — one
-    big NHWC batch keeps the MXU fed (SURVEY.md §3.1 hot loop).
+    big NHWC batch keeps the MXU fed (SURVEY.md §3.1 hot loop). Pass
+    ``folded=True`` with ``fold_batchnorm`` variables for the BN-free
+    inference program.
     """
-    model = ResNet50(num_classes=None, dtype=dtype)
+    model = ResNet50(num_classes=None, dtype=dtype, folded=folded)
     lead = frames.shape[:-3]
     flat = frames.reshape((-1,) + frames.shape[-3:])
     feats = model.apply(params, flat)

@@ -41,6 +41,8 @@ class TrainConfig:
     weight_decay: float = 5e-4
     lr_decay_steps: int = 1500        # step-decay interval
     lr_decay_rate: float = 0.1
+    partial_bn: bool = True           # TSN rule: freeze all BN but the first
+    dropout: float = 0.5              # TSN dropout before the fc head
     compute_dtype: str = "bfloat16"
     scale_size: int = 256
     crop_size: int = 224
@@ -69,6 +71,8 @@ def _model(cfg: TrainConfig):
         num_classes=cfg.num_classes,
         dtype=jnp.dtype(cfg.compute_dtype),
         use_running_average=False,
+        partial_bn=cfg.partial_bn,
+        dropout_rate=cfg.dropout,
     )
 
 
@@ -113,6 +117,7 @@ def make_train_step(cfg: TrainConfig, mesh: Mesh | None = None) -> Callable:
             flat,
             train=True,
             mutable=["batch_stats"],
+            rngs={"dropout": jax.random.fold_in(key, 1)},
         )
         logits = logits.reshape(b, k, -1).mean(axis=1)  # TSN consensus
         loss = optax.softmax_cross_entropy_with_integer_labels(

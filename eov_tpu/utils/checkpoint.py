@@ -32,11 +32,7 @@ def load_pytree(path: str, template: Any | None = None) -> Any:
     sharded/typed restoration."""
     ckpt = _checkpointer()
     if template is not None:
-        import orbax.checkpoint as ocp
-
-        return ckpt.restore(
-            os.path.abspath(path), ocp.args.StandardRestore(template)
-        )
+        return ckpt.restore(os.path.abspath(path), template)
     return ckpt.restore(os.path.abspath(path))
 
 

@@ -115,3 +115,31 @@ def test_train_step_dp_runs_and_learns(devices8):
     # SGD on a fresh net overshoots on step 1-2; require recovery + descent.
     assert losses[-1] < max(losses[:3]), losses
     assert all(np.isfinite(losses)), losses
+
+
+def test_partial_bn_freezes_deep_stats():
+    """TSN partialBN (C12): only the stem BN updates stats during finetune."""
+    import numpy as np
+
+    from eov_tpu import train as tr
+
+    cfg = tr.TrainConfig(
+        num_classes=4, num_segments=2, batch_clips=2,
+        compute_dtype="float32", scale_size=36, crop_size=32,
+        partial_bn=True, dropout=0.5,
+    )
+    state = tr.create_train_state(cfg, jax.random.PRNGKey(0), sample_hw=(32, 32))
+    step = tr.make_train_step(cfg)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 256, (2, 2, 40, 48, 3), dtype=np.uint8))
+    labels = jnp.asarray(np.array([0, 1], np.int32))
+    old = jax.tree.map(np.asarray, state.batch_stats)
+    state2, _ = step(state, frames, labels, jax.random.PRNGKey(1))
+    new = jax.tree.map(np.asarray, state2.batch_stats)
+    assert np.abs(old["bn1"]["mean"] - new["bn1"]["mean"]).max() > 0
+    assert (
+        np.abs(
+            old["layer4_2"]["bn3"]["mean"] - new["layer4_2"]["bn3"]["mean"]
+        ).max()
+        == 0
+    )

@@ -48,3 +48,34 @@ def test_batch_consistency():
     np.testing.assert_allclose(
         np.asarray(single[0]), np.asarray(batched[0]), rtol=2e-5, atol=2e-5
     )
+
+
+def test_fold_batchnorm_matches_unfolded():
+    """fold_batchnorm: BN-free inference program == BN program (C4 rewrite)."""
+    from eov_tpu.models.resnet import fold_batchnorm
+
+    _, params = _init_small()
+    rng = np.random.default_rng(3)
+    # Perturb BN stats/params so folding is non-trivial (init is identity).
+    params = {
+        "params": jax.tree.map(
+            lambda x: x
+            + jnp.asarray(rng.normal(0, 0.05, x.shape).astype(np.float32)),
+            params["params"],
+        ),
+        "batch_stats": jax.tree.map(
+            lambda x: jnp.abs(
+                x + jnp.asarray(rng.normal(0.1, 0.2, x.shape).astype(np.float32))
+            ),
+            params["batch_stats"],
+        ),
+    }
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    ref = np.asarray(resnet50_feature_apply(params, x, dtype=jnp.float32))
+    out = np.asarray(
+        resnet50_feature_apply(
+            fold_batchnorm(params), x, dtype=jnp.float32, folded=True
+        )
+    )
+    scale = np.abs(ref).max()
+    assert np.abs(ref - out).max() <= 1e-4 * scale
