@@ -113,9 +113,37 @@ def cmd_extract(args) -> int:
     params = _load_params(args, preset.extract.compute_dtype)
     store = FeatureStore(args.store, class_names=list(dataset.class_names))
     metrics = MetricsWriter(args.metrics)
-    metrics.write("config", command="extract",
-                  config=resolved_dict(preset.extract))
-    stats = extract_features(dataset, params, store, preset.extract, metrics)
+
+    cfg, feature_fn, records = preset.extract, None, None
+    if args.multichip:
+        # Config 5 (pod_extract): DP over all chips of all hosts — mesh from
+        # parallel/, per-host record shard, batches padded to mesh-divisible.
+        import dataclasses
+        import jax
+
+        from eov_tpu.parallel import distributed as dist
+        from eov_tpu.parallel.sharded import make_sharded_feature_fn
+
+        dist.initialize()
+        mesh = dist.global_mesh(n_frame=preset.n_frame)
+        n_data = mesh.shape["data"]
+        batch = max(cfg.batch_clips, n_data)
+        batch -= batch % n_data
+        cfg = dataclasses.replace(cfg, batch_clips=batch, pad_batches=True)
+        import jax.numpy as jnp
+
+        feature_fn = make_sharded_feature_fn(
+            params, mesh, scale_size=cfg.scale_size, crop_size=cfg.crop_size,
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
+        )
+        records = dist.process_record_shard(dataset.records)
+
+    metrics.write("config", command="extract", config=resolved_dict(cfg),
+                  multichip=bool(args.multichip))
+    stats = extract_features(
+        dataset, params, store, cfg, metrics,
+        feature_fn=feature_fn, records=records,
+    )
     print(json.dumps(stats))
     return 0
 
@@ -305,7 +333,9 @@ def main(argv=None) -> int:
         p.set_defaults(fn=fn)
         return p
 
-    add("extract", cmd_extract, **{"--store": {"required": True}})
+    add("extract", cmd_extract,
+        **{"--store": {"required": True},
+           "--multichip": {"action": "store_true"}})
     add(
         "eval", cmd_eval,
         **{

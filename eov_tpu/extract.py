@@ -48,8 +48,14 @@ class ExtractConfig:
     crop_size: int = 224
     compute_dtype: str = "bfloat16"  # backbone MXU dtype
     fold_bn: bool = True           # fold inference BN into conv kernels
+    pallas_crop: bool = True       # fused Pallas crop+normalize on TPU when
+                                   # frames are storage-normalized (short
+                                   # side == scale_size, so resize is a no-op)
     flush_every: int = 64          # clips per durable shard
     deterministic: bool = False    # disable decode/compute overlap (tests)
+    pad_batches: bool = False      # pad short tail batches to batch_clips
+                                   # (sharded runs need divisible batches;
+                                   # padded rows are dropped on materialize)
     fault_inject: float = 0.0      # P(decode failure) for failure-path tests
     fault_seed: int = 0
 
@@ -75,14 +81,25 @@ def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
 
         params = fold_batchnorm(params)
 
+    use_pallas = cfg.pallas_crop and jax.default_backend() == "tpu"
+
     @jax.jit
     def feature_fn(frames_u8: jax.Array) -> jax.Array:
-        x = preprocess.preprocess_eval(
-            frames_u8,
-            scale_size=cfg.scale_size,
-            crop_size=cfg.crop_size,
-            dtype=dtype,
-        )  # [B, K, 224, 224, 3]
+        h, w = frames_u8.shape[-3], frames_u8.shape[-2]
+        if use_pallas and min(h, w) == cfg.scale_size:
+            # Storage-normalized input: resize is identity, so the whole
+            # transform chain is the fused Pallas crop+normalize kernel
+            # (ops/pallas_preprocess.py — semantics-identical, parity-tested).
+            from eov_tpu.ops.pallas_preprocess import crop_normalize
+
+            x = crop_normalize(frames_u8, crop=cfg.crop_size, dtype=dtype)
+        else:
+            x = preprocess.preprocess_eval(
+                frames_u8,
+                scale_size=cfg.scale_size,
+                crop_size=cfg.crop_size,
+                dtype=dtype,
+            )  # [B, K, 224, 224, 3]
         feats = resnet50_feature_apply(
             params, x, dtype=dtype, folded=folded
         )  # [B, K, D]
@@ -98,17 +115,20 @@ def extract_features(
     cfg: ExtractConfig = ExtractConfig(),
     metrics: MetricsWriter | None = None,
     feature_fn: Callable | None = None,
+    records: Sequence[VideoRecord] | None = None,
 ) -> dict:
     """Run extraction over all records not yet in the store. Returns stats.
 
     feature_fn overrides the default ResNet-50 pipeline (tests swap in a
     cheap featurizer; the multi-chip path swaps in the sharded step from
-    parallel/).
+    parallel/). records restricts the work list (multi-host jobs pass this
+    host's shard from parallel.distributed.process_record_shard).
     """
     metrics = metrics or MetricsWriter(None)
     feature_fn = feature_fn or make_feature_fn(params, cfg)
     done = store.done_ids()
-    todo = [r for r in dataset.records if r.video_id not in done]
+    work = dataset.records if records is None else records
+    todo = [r for r in work if r.video_id not in done]
     fault_rng = np.random.default_rng(cfg.fault_seed)
 
     stats = {"total": len(dataset.records), "skipped_done": len(done),
@@ -148,7 +168,15 @@ def extract_features(
         batch = todo[start : start + cfg.batch_clips]
         oks, clips = _decode_batch(batch)
         if oks:
-            frames = jnp.asarray(np.stack(clips))  # [B, K, H, W, 3] uint8
+            stacked = np.stack(clips)
+            if cfg.pad_batches and len(clips) < cfg.batch_clips:
+                # Repeat the last clip up to the full batch; _materialize's
+                # zip(records, feats) drops the padded rows.
+                pad = np.repeat(
+                    stacked[-1:], cfg.batch_clips - len(clips), axis=0
+                )
+                stacked = np.concatenate([stacked, pad])
+            frames = jnp.asarray(stacked)  # [B, K, H, W, 3] uint8
             feats_dev = feature_fn(frames)  # async dispatch — returns now
             if cfg.deterministic:
                 feats_dev.block_until_ready()

@@ -34,6 +34,7 @@ def make_sharded_feature_fn(
     scale_size: int = 256,
     crop_size: int = 224,
     compute_dtype=jnp.bfloat16,
+    fold_bn: bool = True,
 ) -> Callable:
     """Sharded clip featurizer: frames [B, K, H, W, 3] u8 -> features [B, D].
 
@@ -44,12 +45,20 @@ def make_sharded_feature_fn(
     Params are replicated (25M params ≪ HBM; §2c TP row).
     """
 
+    folded = fold_bn and "batch_stats" in params
+    if folded:
+        from eov_tpu.models.resnet import fold_batchnorm
+
+        params = fold_batchnorm(params)
+
     def local_fn(params, frames_u8):
         x = preprocess.preprocess_eval(
             frames_u8, scale_size=scale_size, crop_size=crop_size,
             dtype=compute_dtype,
         )
-        feats = resnet50_feature_apply(params, x, dtype=compute_dtype)
+        feats = resnet50_feature_apply(
+            params, x, dtype=compute_dtype, folded=folded
+        )
         # Local segment sum; global mean via frame-axis psum.
         local_sum = jnp.sum(feats.astype(jnp.float32), axis=1)
         total = jax.lax.psum(local_sum, FRAME_AXIS)

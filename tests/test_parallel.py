@@ -143,3 +143,44 @@ def test_partial_bn_freezes_deep_stats():
         ).max()
         == 0
     )
+
+
+def test_multichip_extract_end_to_end_with_padded_tail(
+    devices8, small_params, tmp_path
+):
+    """Config-5 wiring: sharded extraction over a mesh, tail batch padded.
+
+    10 clips through batch_clips=4 on a data=4 mesh leaves a tail of 2 that
+    pad_batches must pad (shard_map needs divisible batches); results must
+    equal the single-device pipeline for every real clip.
+    """
+    from eov_tpu.data.datasets import SyntheticVideoDataset
+    from eov_tpu.data.store import FeatureStore
+    from eov_tpu.extract import ExtractConfig, extract_features, make_feature_fn
+
+    ds = SyntheticVideoDataset(n_classes=5, clips_per_class=2, seed=1,
+                               height=40, width=48)
+    assert len(ds.records) == 10
+    mesh = make_mesh(4, 2, devices=devices8)
+    cfg = ExtractConfig(
+        num_segments=4, batch_clips=4, scale_size=36, crop_size=32,
+        compute_dtype="float32", deterministic=True, pad_batches=True,
+    )
+    fn = sharded.make_sharded_feature_fn(
+        small_params, mesh, scale_size=36, crop_size=32,
+        compute_dtype=jnp.float32,
+    )
+    store = FeatureStore(str(tmp_path / "mc"), class_names=ds.class_names)
+    stats = extract_features(ds, small_params, store, cfg, feature_fn=fn)
+    assert stats["extracted"] == 10 and stats["failed"] == 0
+
+    ref_cfg = ExtractConfig(
+        num_segments=4, batch_clips=4, scale_size=36, crop_size=32,
+        compute_dtype="float32", deterministic=True, fold_bn=True,
+    )
+    ref_store = FeatureStore(str(tmp_path / "ref"), class_names=ds.class_names)
+    extract_features(ds, small_params, ref_store, ref_cfg)
+    t1, t2 = store.to_table(), ref_store.to_table()
+    np.testing.assert_allclose(
+        np.asarray(t1.features), np.asarray(t2.features), rtol=1e-4, atol=1e-5
+    )
