@@ -41,9 +41,6 @@ def main() -> None:
     params = ResNet50(dtype=jnp.bfloat16).init(
         jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))
     )
-    cfg = ExtractConfig(num_segments=k, scale_size=256, crop_size=224)
-    fn = make_feature_fn(params, cfg)
-
     rng = np.random.default_rng(0)
     frames = jax.device_put(
         jnp.asarray(
@@ -51,8 +48,23 @@ def main() -> None:
         )
     )
 
-    # Warmup (compile + cache).
-    fn(frames).block_until_ready()
+    # Warmup (compile + cache); fall back to the pure-XLA preprocess path if
+    # the Pallas crop kernel misbehaves on this backend.
+    cfg = ExtractConfig(num_segments=k, scale_size=256, crop_size=224)
+    variant = ("pallas_crop" if platform == "tpu" else "xla") + "+fold_bn"
+    fn = make_feature_fn(params, cfg)
+    try:
+        fn(frames).block_until_ready()
+    except Exception as e:  # noqa: BLE001 — bench must always print its line
+        import sys
+
+        print(f"pallas path failed, XLA fallback: {e}", file=sys.stderr)
+        variant = "xla+fold_bn"
+        cfg = ExtractConfig(
+            num_segments=k, scale_size=256, crop_size=224, pallas_crop=False
+        )
+        fn = make_feature_fn(params, cfg)
+        fn(frames).block_until_ready()
     fn(frames).block_until_ready()
 
     trace_dir = os.environ.get("EOV_BENCH_TRACE")
@@ -91,6 +103,7 @@ def main() -> None:
                 "vs_baseline": round(clips_per_sec / 1000.0, 4),
                 "detail": {
                     "platform": platform,
+                    "variant": variant,
                     "batch_clips": batch,
                     "num_segments": k,
                     "frame_hw": [256, 320],

@@ -35,7 +35,10 @@ __all__ = ["crop_normalize"]
 def _kernel(x_ref, scale_ref, bias_ref, o_ref, *, top, left, crop, out_dtype):
     # x_ref: [1, H, W*3] u8; slice the crop window, convert, affine.
     x = x_ref[0, top : top + crop, left * 3 : (left + crop) * 3]
-    y = x.astype(jnp.float32) * scale_ref[0] - bias_ref[0]
+    # Mosaic has no direct u8->f32 cast; widen through int32 first (values
+    # are 0..255 so the detour is exact).
+    xf = x.astype(jnp.int32).astype(jnp.float32)
+    y = xf * scale_ref[0] - bias_ref[0]
     o_ref[0] = y.astype(out_dtype)
 
 
