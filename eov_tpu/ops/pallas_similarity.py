@@ -61,6 +61,10 @@ def _matcher_kernel(q_ref, s_ref, b_ref, o_ref, *, n_way, metric):
             q, s,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # Full f32 (3-pass bf16) MXU precision: the matcher is a
+            # negligible FLOP share next to the backbone, and near-tie
+            # argmaxes flip under single-pass bf16 input rounding.
+            precision=jax.lax.Precision.HIGHEST,
         )  # [Qp, Mp]
         if metric == "cosine":
             sims = dots
