@@ -27,6 +27,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--metrics", default=None, help="metrics.jsonl path")
     p.add_argument("--platform", default=None,
                    help="force jax platform (cpu/tpu)")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace (xprof/TensorBoard)")
 
 
 def _setup_platform(args) -> None:
@@ -365,6 +367,14 @@ def main(argv=None) -> int:
     add("bench", cmd_bench)
 
     args = ap.parse_args(argv)
+    if getattr(args, "trace", None):
+        import contextlib
+
+        import jax
+
+        with contextlib.ExitStack() as stack:
+            stack.enter_context(jax.profiler.trace(args.trace))
+            return args.fn(args)
     return args.fn(args)
 
 
