@@ -1,4 +1,4 @@
-"""Hand-written torch-CPU ResNet-50 used ONLY as a golden parity reference.
+"""Hand-written torch-CPU ResNet-50: golden parity reference + harness model.
 
 torchvision is not installed in this environment (SURVEY.md §7 [ENV]), so the
 parity tests drive this independent implementation of the same canonical

@@ -19,7 +19,7 @@ from eov_tpu.tools import port_torch
 def shared():
     import torch
 
-    from tests.torch_resnet import TorchResNet50, torchvision_style_state_dict
+    from eov_tpu.tools.torch_ref import TorchResNet50, torchvision_style_state_dict
 
     torch.manual_seed(0)
     tmodel = TorchResNet50().eval()
