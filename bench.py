@@ -50,8 +50,13 @@ def main() -> None:
 
     # Warmup (compile + cache); fall back to the pure-XLA preprocess path if
     # the Pallas crop kernel misbehaves on this backend.
-    cfg = ExtractConfig(num_segments=k, scale_size=256, crop_size=224)
-    variant = ("pallas_crop" if platform == "tpu" else "xla") + "+fold_bn"
+    s2d = os.environ.get("EOV_BENCH_S2D", "0") == "1"
+    cfg = ExtractConfig(
+        num_segments=k, scale_size=256, crop_size=224, stem_s2d=s2d
+    )
+    variant = ("pallas_crop" if platform == "tpu" else "xla") + "+fold_bn" + (
+        "+s2d" if s2d else ""
+    )
     fn = make_feature_fn(params, cfg)
     try:
         fn(frames).block_until_ready()

@@ -51,6 +51,7 @@ class ExtractConfig:
     pallas_crop: bool = True       # fused Pallas crop+normalize on TPU when
                                    # frames are storage-normalized (short
                                    # side == scale_size, so resize is a no-op)
+    stem_s2d: bool = False         # MXU-friendly space-to-depth stem rewrite
     flush_every: int = 64          # clips per durable shard
     deterministic: bool = False    # disable decode/compute overlap (tests)
     pad_batches: bool = False      # pad short tail batches to batch_clips
@@ -80,6 +81,10 @@ def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
         from eov_tpu.models.resnet import fold_batchnorm
 
         params = fold_batchnorm(params)
+    if cfg.stem_s2d:
+        from eov_tpu.models.resnet import space_to_depth_stem
+
+        params = space_to_depth_stem(params)
 
     use_pallas = cfg.pallas_crop and jax.default_backend() == "tpu"
 
@@ -101,7 +106,7 @@ def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
                 dtype=dtype,
             )  # [B, K, 224, 224, 3]
         feats = resnet50_feature_apply(
-            params, x, dtype=dtype, folded=folded
+            params, x, dtype=dtype, folded=folded, stem_s2d=cfg.stem_s2d
         )  # [B, K, D]
         return jnp.mean(feats.astype(jnp.float32), axis=1)  # TSN consensus
 

@@ -152,6 +152,11 @@ class ResNet(nn.Module):
     # both use the running averages; dropout_rate applies before the fc head.
     partial_bn: bool = False
     dropout_rate: float = 0.0
+    # MXU-friendly stem: 2x2 space-to-depth on the input turns the 7x7/s2
+    # conv over 3 channels into an equivalent 4x4/s1 conv over 12 channels
+    # (4x the lane utilization, half the spatial extent). Exact rewrite —
+    # use with variables from space_to_depth_stem().
+    stem_s2d: bool = False
     # None = backend default (bf16-truncated conv inputs on CPU/TPU — the
     # production TPU setting). Parity tests pass Precision.HIGHEST for true
     # f32 accumulation against the torch reference.
@@ -191,8 +196,17 @@ class ResNet(nn.Module):
                 return base_norm(use_running_average=use_ra or frozen, **kw)
 
         x = x.astype(self.dtype)
-        x = conv(self.width, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                 name="conv1")(x)
+        if self.stem_s2d:
+            b, h, w, c = x.shape
+            x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+            # Asymmetric (2,1) padding: the derivation pads the 7x7 kernel to
+            # 8x8 with a zero top/left row before folding into (a, dy) pairs.
+            x = conv(self.width, (4, 4), padding=[(2, 1), (2, 1)],
+                     name="conv1")(x)
+        else:
+            x = conv(self.width, (7, 7), strides=(2, 2),
+                     padding=[(3, 3), (3, 3)], name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         # torch MaxPool2d(3, stride=2, padding=1) semantics: pad with -inf.
@@ -271,8 +285,39 @@ def fold_batchnorm(variables, eps: float = 1e-5):
     return {"params": fold_module(params, stats)}
 
 
+def space_to_depth_stem(variables):
+    """Rewrite conv1 [7,7,3,64] -> [4,4,12,64] for ResNet(stem_s2d=True).
+
+    Exact algebraic rewrite: pad the 7x7 kernel to 8x8 with a zero top/left
+    row/col, then fold each (2x2 phase, channel) pair of taps into one of 12
+    input channels: W'[a,b,(dy,dx,c),o] = W8[2a+dy, 2b+dx, c, o]. Composes
+    with fold_batchnorm (order-independent: both only touch conv kernels
+    linearly). Output matches the 7x7/s2 stem bit-for-bit up to conv
+    accumulation order.
+    """
+
+    def rewrite(tree):
+        out = {}
+        for name, sub in tree.items():
+            if name == "conv1" and isinstance(sub, dict) and "kernel" in sub \
+                    and sub["kernel"].shape[:3] == (7, 7, 3):
+                k = jnp.pad(sub["kernel"], ((1, 0), (1, 0), (0, 0), (0, 0)))
+                # [8,8,3,o] -> [4,dy,4,dx,3,o] -> [4,4,(dy,dx,3),o]
+                k = k.reshape(4, 2, 4, 2, 3, k.shape[-1])
+                k = k.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 12, -1)
+                out[name] = dict(sub, kernel=k)
+            elif isinstance(sub, dict):
+                out[name] = rewrite(sub)
+            else:
+                out[name] = sub
+        return out
+
+    return {k: rewrite(v) if k == "params" else v for k, v in variables.items()}
+
+
 def resnet50_feature_apply(
-    params, frames: jax.Array, *, dtype=jnp.bfloat16, folded: bool = False
+    params, frames: jax.Array, *, dtype=jnp.bfloat16, folded: bool = False,
+    stem_s2d: bool = False,
 ) -> jax.Array:
     """Pure apply: frames [..., H, W, 3] float -> features [..., 2048].
 
@@ -281,7 +326,9 @@ def resnet50_feature_apply(
     ``folded=True`` with ``fold_batchnorm`` variables for the BN-free
     inference program.
     """
-    model = ResNet50(num_classes=None, dtype=dtype, folded=folded)
+    model = ResNet50(
+        num_classes=None, dtype=dtype, folded=folded, stem_s2d=stem_s2d
+    )
     lead = frames.shape[:-3]
     flat = frames.reshape((-1,) + frames.shape[-3:])
     feats = model.apply(params, flat)

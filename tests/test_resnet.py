@@ -79,3 +79,36 @@ def test_fold_batchnorm_matches_unfolded():
     )
     scale = np.abs(ref).max()
     assert np.abs(ref - out).max() <= 1e-4 * scale
+
+
+def test_space_to_depth_stem_matches():
+    """stem_s2d: 4x4/s1 conv over 2x2-folded input == 7x7/s2 stem exactly."""
+    from eov_tpu.models.resnet import fold_batchnorm, space_to_depth_stem
+
+    _, params = _init_small()
+    rng = np.random.default_rng(5)
+    params = {
+        "params": jax.tree.map(
+            lambda x: x
+            + jnp.asarray(rng.normal(0, 0.05, x.shape).astype(np.float32)),
+            params["params"],
+        ),
+        "batch_stats": params["batch_stats"],
+    }
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    ref = np.asarray(resnet50_feature_apply(params, x, dtype=jnp.float32))
+    got = np.asarray(
+        resnet50_feature_apply(
+            space_to_depth_stem(params), x, dtype=jnp.float32, stem_s2d=True
+        )
+    )
+    scale = np.abs(ref).max()
+    assert np.abs(ref - got).max() <= 1e-4 * scale
+    # composes with fold_batchnorm
+    both = fold_batchnorm(space_to_depth_stem(params))
+    got2 = np.asarray(
+        resnet50_feature_apply(
+            both, x, dtype=jnp.float32, stem_s2d=True, folded=True
+        )
+    )
+    assert np.abs(ref - got2).max() <= 2e-4 * scale
