@@ -46,6 +46,8 @@ class EvalConfig:
     fusion: str = "max"     # 'max' (union support) | 'mean' (prototype)
     seed: int = 0
     embodied: bool = False
+    # 'auto': Pallas fused matcher kernel on TPU, XLA path elsewhere.
+    matcher: str = "auto"   # 'auto' | 'xla' | 'pallas'
 
 
 class FeatureTable(NamedTuple):
@@ -71,7 +73,7 @@ class EvalResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_way", "k_shot", "n_query", "n_step", "metric", "fusion"
+        "n_way", "k_shot", "n_query", "n_step", "metric", "fusion", "matcher"
     ),
 )
 def eval_step(
@@ -87,6 +89,7 @@ def eval_step(
     n_step: int,
     metric: str,
     fusion: str,
+    matcher: str = "auto",
 ):
     """One device step: sample + gather + classify n_step episodes.
 
@@ -119,9 +122,21 @@ def eval_step(
         mask = jnp.concatenate([mask, vmask], axis=2)
 
     qry_flat = qry.reshape(e, n_way * n_query, -1)
-    preds = similarity.predict(
-        qry_flat, sup, mask, metric=metric, fusion=fusion
-    )  # [E, N*Q]
+    use_pallas = matcher == "pallas" or (
+        matcher == "auto"
+        and jax.default_backend() == "tpu"
+        and qry_flat.shape[-1] % 128 == 0  # kernel needs lane-aligned D
+    )
+    if use_pallas:
+        from eov_tpu.ops.pallas_similarity import episode_predict
+
+        preds = episode_predict(
+            qry_flat, sup, mask, metric=metric, fusion=fusion
+        )  # [E, N*Q]
+    else:
+        preds = similarity.predict(
+            qry_flat, sup, mask, metric=metric, fusion=fusion
+        )  # [E, N*Q]
     labels = ep.query_labels(n_way, n_query)[None, :]
     return jnp.mean((preds == labels).astype(jnp.float32), axis=-1)
 
@@ -155,6 +170,7 @@ def evaluate(
             n_step=n_step,
             metric=cfg.metric,
             fusion=cfg.fusion,
+            matcher=cfg.matcher,
         )
         accs.append(np.asarray(acc))
         done += n_step
