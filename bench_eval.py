@@ -1,0 +1,89 @@
+"""Secondary benchmark: episodic eval throughput (episodes/sec/chip).
+
+BASELINE.json:10 — 64 episodes per fused device step (sample + gather +
+normalize + similarity matmuls + fusion + argmax + accuracy). The headline
+extraction metric lives in bench.py; this measures the eval harness on a
+realistic cached-feature table (Kinetics-100 meta-test scale: 24 classes x
+100 clips x 2048-d).
+
+Prints one JSON line. EOV_EVAL_MATCHER=xla|pallas|auto selects the matcher.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eov_tpu import eval as ev
+
+    platform = jax.devices()[0].platform
+    matcher = os.environ.get("EOV_EVAL_MATCHER", "auto")
+    e_step = int(os.environ.get("EOV_EVAL_EPISODES_PER_STEP", "64"))
+    iters = int(os.environ.get("EOV_EVAL_ITERS", "20" if platform == "tpu" else "3"))
+    window = int(os.environ.get("EOV_EVAL_WINDOW", "64" if platform == "tpu" else "2"))
+
+    rng = np.random.default_rng(0)
+    c, m, d = 24, 100, 2048
+    feats = (
+        rng.normal(size=(c, 1, d)) + 0.8 * rng.normal(size=(c, m, d))
+    ).astype(np.float32)
+    features = jax.device_put(jnp.asarray(feats))
+    counts = jax.device_put(jnp.full((c,), m, jnp.int32))
+
+    # Device-side scan over `window` steps inside ONE executable: per-step
+    # time is window_time / window with zero host-dispatch artifacts (the
+    # steps are data-independent but sequenced by the scan carry).
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run_window(key0):
+        def body(key, _):
+            key, sub = jax.random.split(key)
+            acc = ev.eval_step(
+                sub, features, counts, None, None,
+                n_way=5, k_shot=1, n_query=1, n_step=e_step,
+                metric="cosine", fusion="max", matcher=matcher,
+            )
+            return key, jnp.mean(acc)
+        _, accs = jax.lax.scan(body, key0, None, length=window)
+        return accs
+
+    run_window(jax.random.PRNGKey(0)).block_until_ready()  # compile
+
+    win_times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        run_window(jax.random.PRNGKey(i)).block_until_ready()
+        win_times.append((time.perf_counter() - t0) / window)
+
+    med = statistics.median(win_times)
+    print(
+        json.dumps(
+            {
+                "metric": "oneshot_eval_throughput",
+                "value": round(e_step / med, 2),
+                "unit": "episodes/sec/chip",
+                "vs_baseline": None,
+                "detail": {
+                    "platform": platform,
+                    "matcher": matcher,
+                    "episodes_per_step": e_step,
+                    "table_cmd": [c, m, d],
+                    "median_step_s": round(med, 6),
+                    "full_600_episode_eval_s": round(600 / (e_step / med), 4),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
