@@ -1,0 +1,81 @@
+"""Tertiary benchmark: host clip-decode throughput (clips/sec, K frames each).
+
+SURVEY.md §6 names host decode as the binding constraint for the 1000
+clips/s/chip target: 8000 JPEG decodes/s/chip is impossible on one host
+core, so production feeds pre-decoded raw EOVC shards (mmap, zero decode) or
+shards JPEG decode across hosts. This bench quantifies all three paths on
+this host:
+
+    eovc_raw      — mmap memcpy of size-normalized raw frames (native C++)
+    eovc_jpeg     — threaded libjpeg decode (native C++, GIL released)
+    python_jpeg   — pure-python PIL fallback
+
+Prints one JSON line per path. EOV_DECODE_CLIPS / EOV_DECODE_K override.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import tempfile
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    from eov_tpu.data.datasets import EovcVideoDataset, SyntheticVideoDataset
+    from eov_tpu.tools.pack_eovc import pack
+
+    n_clips = int(os.environ.get("EOV_DECODE_CLIPS", "32"))
+    k = int(os.environ.get("EOV_DECODE_K", "8"))
+    ds = SyntheticVideoDataset(
+        n_classes=8, clips_per_class=(n_clips + 7) // 8, seed=0,
+        height=256, width=320, min_frames=24, max_frames=32,
+    )
+
+    results = {}
+    with tempfile.TemporaryDirectory() as td:
+        for codec in ("raw", "jpeg"):
+            path = os.path.join(td, f"bench.{codec}.eovc")
+            pack(ds, path, storage_short_side=256, codec=codec)
+            for native in (True, False):
+                if codec == "raw" and not native:
+                    label = "python_raw"
+                elif codec == "raw":
+                    label = "eovc_raw"
+                elif native:
+                    label = "eovc_jpeg"
+                else:
+                    label = "python_jpeg"
+                eds = EovcVideoDataset(path, prefer_native=native)
+                if native and not eds.is_native:
+                    continue
+                recs = eds.records[:n_clips]
+                idx = np.stack(
+                    [np.linspace(0, r.num_frames - 1, k).astype(np.int32)
+                     for r in recs]
+                )
+                t0 = time.perf_counter()
+                out = eds.get_batch(recs, idx)
+                dt = time.perf_counter() - t0
+                assert out.shape[:2] == (len(recs), k)
+                results[label] = round(len(recs) / dt, 2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "host_clip_decode_throughput",
+                "value": results.get("eovc_raw"),
+                "unit": "clips/sec/host-core",
+                "vs_baseline": None,
+                "detail": {"paths": results, "clips": n_clips, "k": k,
+                           "frame_hw": [256, 320]},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

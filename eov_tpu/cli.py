@@ -29,6 +29,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="force jax platform (cpu/tpu)")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax.profiler trace (xprof/TensorBoard)")
+    p.add_argument("--debug-nans", action="store_true", dest="debug_nans",
+                   help="enable jax_debug_nans (SURVEY.md §5 sanitizers)")
 
 
 def _setup_platform(args) -> None:
@@ -36,6 +38,10 @@ def _setup_platform(args) -> None:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
 
 def _load_dataset(args):
