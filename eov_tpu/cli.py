@@ -99,7 +99,11 @@ def _load_params(args, dtype_str: str):
             return port_resnet_state_dict(sd)
         from eov_tpu.utils.checkpoint import load_pytree
 
-        return load_pytree(args.params)
+        tree = load_pytree(args.params)
+        # Train checkpoints also carry step/opt_state; the model apply only
+        # takes variable collections.
+        return {k: v for k, v in tree.items()
+                if k in ("params", "batch_stats")}
     print(
         "warning: no --params given; using RANDOM ImageNet-free weights "
         "(fixture mode — accuracy will not match pretrained parity)",
@@ -261,20 +265,49 @@ def cmd_train(args) -> int:
         batch_clips=args.batch or 8,
         lr=args.lr or 0.001,
     )
+    import os
+
+    from eov_tpu.utils.checkpoint import latest_step_dir, load_pytree
+
     metrics = MetricsWriter(args.metrics)
     metrics.write("config", command="train", config=resolved_dict(cfg))
     state = eov_train.create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
+    start_epoch = 0
+    if args.out:
+        # Resume from the newest per-epoch checkpoint (reference parity:
+        # torch.save each epoch — SURVEY.md §3.5; resume is the TPU-native
+        # upgrade via the orbax step dirs).
+        last = latest_step_dir(args.out)
+        if last:
+            restored = load_pytree(
+                last,
+                template={"params": state.params,
+                          "batch_stats": state.batch_stats,
+                          "step": state.step,
+                          "opt_state": state.opt_state},
+            )
+            state = eov_train.TrainState(
+                step=restored["step"], params=restored["params"],
+                batch_stats=restored["batch_stats"],
+                opt_state=restored["opt_state"],
+            )
+            start_epoch = int(os.path.basename(last).split("_")[1]) + 1
+            print(f"resumed from {last} (epoch {start_epoch})")
     step_fn = eov_train.make_train_step(cfg)
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         state, m = eov_train.train_epoch_synthetic(
             state, step_fn, cfg, dataset, epoch=epoch
         )
         metrics.write("epoch", epoch=epoch, **m)
         print(f"epoch {epoch}: {m}")
+        if args.out:
+            save_pytree(
+                os.path.join(args.out, f"step_{epoch}"),
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "step": state.step, "opt_state": state.opt_state},
+            )
     if args.out:
-        save_pytree(args.out, {"params": state.params,
-                               "batch_stats": state.batch_stats})
-        print(f"saved checkpoint: {args.out}")
+        print(f"saved checkpoints under: {args.out}")
     return 0
 
 
