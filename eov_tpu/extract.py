@@ -154,7 +154,20 @@ def extract_features(
             store.flush()
             since_flush = 0
 
+    # Pooled decode fast path (native loader: one multi-threaded call per
+    # batch, GIL released); per-record fallback keeps fault containment.
+    can_pool = hasattr(dataset, "get_batch") and not cfg.fault_inject
+
     def _decode_batch(batch: list[VideoRecord]):
+        if can_pool:
+            try:
+                idx = np.stack([
+                    _center_indices_np(r.num_frames, cfg.num_segments)
+                    for r in batch
+                ])
+                return list(batch), list(dataset.get_batch(batch, idx))
+            except Exception as e:  # noqa: BLE001 — fall back per record
+                log.warning("pooled decode failed (%s); per-record retry", e)
         oks, clips = [], []
         for rec in batch:
             try:
