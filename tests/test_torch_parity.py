@@ -59,3 +59,51 @@ def test_state_dict_roundtrip(shared):
     assert set(back.keys()) == set(sd.keys())
     for k in sd:
         np.testing.assert_array_equal(back[k], np.asarray(sd[k]), err_msg=k)
+
+
+def test_per_stage_activation_parity(shared):
+    """Stage-by-stage closeness (stem, layer1..4): localizes porting bugs to
+    the first diverging stage instead of a single end-to-end assert
+    (SURVEY.md §7 hard part #3)."""
+    import torch
+
+    tmodel, variables, _ = shared
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+
+    # torch reference activations via forward hooks
+    acts_t = {}
+    hooks = [
+        tmodel.maxpool.register_forward_hook(
+            lambda m, i, o: acts_t.__setitem__("stem", o.detach().numpy())
+        )
+    ]
+    for n in range(1, 5):
+        layer = getattr(tmodel, f"layer{n}")
+        hooks.append(layer.register_forward_hook(
+            lambda m, i, o, n=n: acts_t.__setitem__(
+                f"layer{n}", o.detach().numpy())
+        ))
+    with torch.no_grad():
+        tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    for h in hooks:
+        h.remove()
+
+    model = ResNet50(dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    _, inter = model.apply(
+        variables, jnp.asarray(x), capture_intermediates=True
+    )
+    inter = inter["intermediates"]
+
+    def flax_stage(n):
+        # last block of stage n, module output (NHWC) -> NCHW
+        sizes = {1: 3, 2: 4, 3: 6, 4: 3}
+        out = inter[f"layer{n}_{sizes[n] - 1}"]["__call__"][0]
+        return np.asarray(out).transpose(0, 3, 1, 2)
+
+    for n in range(1, 5):
+        got, ref = flax_stage(n), acts_t[f"layer{n}"]
+        assert got.shape == ref.shape, (n, got.shape, ref.shape)
+        scale = np.abs(ref).max() + 1e-9
+        maxrel = np.abs(got - ref).max() / scale
+        assert maxrel < 2e-3, f"stage layer{n} diverges: {maxrel}"
