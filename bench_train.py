@@ -53,8 +53,18 @@ def main() -> None:
         for j in range(window):
             key, sub = jax.random.split(key)
             state, m = step(state, frames, labels, sub)
-        jax.block_until_ready(m["loss"])
+        jax.block_until_ready((state, m))
         win_times.append((time.perf_counter() - t0) / window)
+
+    # Cross-check: fully-fenced steps (fence the WHOLE state, not just the
+    # metrics — fencing one output can under-report on async backends).
+    fenced = []
+    for _ in range(max(2, iters // 2)):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        state, m = step(state, frames, labels, sub)
+        jax.block_until_ready((state, m))
+        fenced.append(time.perf_counter() - t0)
 
     med = statistics.median(win_times)
     print(json.dumps({
@@ -64,7 +74,9 @@ def main() -> None:
         "vs_baseline": None,
         "detail": {"platform": platform, "batch_clips": batch,
                    "num_segments": k, "frame_hw": list(hw),
-                   "median_step_s": round(med, 5), "window": window},
+                   "median_step_s": round(med, 5),
+                   "median_fenced_step_s": round(statistics.median(fenced), 5),
+                   "window": window},
     }))
 
 

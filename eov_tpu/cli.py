@@ -271,6 +271,21 @@ def cmd_train(args) -> int:
 
     metrics = MetricsWriter(args.metrics)
     metrics.write("config", command="train", config=resolved_dict(cfg))
+    mesh = None
+    if args.multichip:
+        from eov_tpu.parallel import distributed as dist
+
+        dist.initialize()
+        mesh = dist.global_mesh(n_frame=1)
+        n_data = mesh.shape["data"]
+        if cfg.batch_clips % n_data:
+            import dataclasses as _dc
+
+            cfg = _dc.replace(
+                cfg,
+                batch_clips=max(cfg.batch_clips - cfg.batch_clips % n_data,
+                                n_data),
+            )
     state = eov_train.create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
     start_epoch = 0
     if args.out:
@@ -293,7 +308,7 @@ def cmd_train(args) -> int:
             )
             start_epoch = int(os.path.basename(last).split("_")[1]) + 1
             print(f"resumed from {last} (epoch {start_epoch})")
-    step_fn = eov_train.make_train_step(cfg)
+    step_fn = eov_train.make_train_step(cfg, mesh)
     for epoch in range(start_epoch, args.epochs):
         state, m = eov_train.train_epoch_synthetic(
             state, step_fn, cfg, dataset, epoch=epoch
@@ -400,6 +415,7 @@ def main(argv=None) -> int:
             "--lr": {"type": float},
             "--num-segments": {"type": int, "dest": "num_segments"},
             "--out": {"default": None},
+            "--multichip": {"action": "store_true"},
         },
     )
     add("fixtures", cmd_fixtures)
