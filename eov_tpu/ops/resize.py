@@ -97,9 +97,14 @@ def resize_hw(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     h, w = img.shape[-3], img.shape[-2]
     wh = jnp.asarray(resize_weights_cached(h, out_h)).astype(img.dtype)
     ww = jnp.asarray(resize_weights_cached(w, out_w)).astype(img.dtype)
-    y = jnp.einsum("oh,...hwc->...owc", wh, img,
+    # f32 inputs keep full precision (TPU default truncates matmul inputs to
+    # bf16 — that would silently break the <=1-LSB PIL parity contract on
+    # f32 parity runs); the bf16 throughput path keeps the fast default.
+    prec = (jax.lax.Precision.HIGHEST
+            if img.dtype == jnp.float32 else None)
+    y = jnp.einsum("oh,...hwc->...owc", wh, img, precision=prec,
                    preferred_element_type=jnp.float32).astype(img.dtype)
-    y = jnp.einsum("pw,...owc->...opc", ww, y,
+    y = jnp.einsum("pw,...owc->...opc", ww, y, precision=prec,
                    preferred_element_type=jnp.float32).astype(img.dtype)
     return y
 
