@@ -149,6 +149,15 @@ def evaluate(
     """Run the full protocol: E episodes in device-steps, mean ± 95% CI."""
     if cfg.embodied and virtual is None:
         raise ValueError("embodied eval requires a virtual FeatureTable")
+    # Host-side eligibility guard: inside jit the sampler cannot raise, and
+    # with < n_way eligible classes it would silently pick invalid slots.
+    need = cfg.k_shot + cfg.n_query
+    n_eligible = int(np.sum(np.asarray(table.counts) >= need))
+    if n_eligible < cfg.n_way:
+        raise ValueError(
+            f"only {n_eligible} classes have >= {need} clips; "
+            f"n_way={cfg.n_way} episodes are not sampleable"
+        )
     vf = virtual.features if (cfg.embodied and virtual) else None
     vc = virtual.counts if (cfg.embodied and virtual) else None
 

@@ -62,3 +62,15 @@ def test_query_labels_layout():
     np.testing.assert_array_equal(
         np.asarray(episodes.query_labels(3, 2)), [0, 0, 1, 1, 2, 2]
     )
+
+
+def test_evaluate_rejects_insufficient_eligible_classes():
+    import pytest
+
+    from eov_tpu.eval import EvalConfig, FeatureTable, evaluate
+
+    feats = jnp.zeros((5, 4, 16), jnp.float32)
+    counts = jnp.asarray([4, 4, 1, 1, 1], jnp.int32)  # only 2 can host 1+1
+    with pytest.raises(ValueError, match="not sampleable"):
+        evaluate(FeatureTable(feats, counts),
+                 EvalConfig(n_way=3, k_shot=1, n_query=1, n_episodes=4))
