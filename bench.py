@@ -6,14 +6,16 @@ clips/sec/chip on TPU v5e. Prints ONE JSON line.
 
 Methodology: device-resident uint8 frames (the pod input pipeline feeds
 per-host shards; host decode is benchmarked separately via the runtime clip
-loader) -> jitted feature_fn, measured in STEADY STATE: windows of W
-back-to-back async dispatches with one fence per window (device execution is
-sequential, so window_time / W is the true per-step time). This matches how
-extract.py actually drives the device (double-buffered async dispatch) and
-excludes the per-call host->device round-trip latency, which on this build
-box is a ~25 ms tunnel RTT that no production pipeline pays per step. The
-fully-fenced per-step time is also reported in `detail` for honesty.
-jax.profiler trace optional via EOV_BENCH_TRACE=dir.
+loader) -> a device-side `lax.scan` of W feature steps inside ONE jitted
+program, synced by an actual device->host transfer of the result. Rationale
+(measured on this build box): the axon tunnel's `block_until_ready` is NOT a
+reliable fence — an 8192^3 GEMM "completed" in 0.02 ms (47 PFLOP/s, i.e. a
+no-op fence) — but a host read of the output bytes cannot return before the
+program has executed. window_time / W is then true per-step device time,
+matching how extract.py drives the chip (pipelined dispatch, no per-step
+sync). jax.profiler trace optional via EOV_BENCH_TRACE=dir. Sanity rail:
+per-step FLOPs from lower().cost_analysis() are included so throughput can
+be checked against hardware peak (v5e bf16: 197 TFLOP/s).
 """
 
 from __future__ import annotations
@@ -76,26 +78,39 @@ def main() -> None:
     if trace_dir:
         jax.profiler.start_trace(trace_dir)
 
-    # Steady-state windows: W async dispatches, one fence. Device execution
-    # is sequential, so window_time / W == per-step time once the pipe fills.
+    # Device-side scan of `window` steps in ONE program, host-read sync.
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run_window(frames_u8):
+        def body(acc, _):
+            return acc + jnp.sum(fn(frames_u8)), None
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), None, length=window
+        )
+        return total
+
+    float(run_window(frames))  # compile + warm
     win_times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = None
-        for _ in range(window):
-            out = fn(frames)
-        out.block_until_ready()
+        float(run_window(frames))  # np conversion = true device sync
         win_times.append((time.perf_counter() - t0) / window)
 
-    # Fully-fenced per-step time (includes per-call host round trip).
+    # Single dispatched step, host-read sync (includes one tunnel round trip).
     fenced = []
     for _ in range(max(2, iters // 2)):
         t0 = time.perf_counter()
-        fn(frames).block_until_ready()
+        np.asarray(fn(frames))
         fenced.append(time.perf_counter() - t0)
 
     if trace_dir:
         jax.profiler.stop_trace()
+
+    try:
+        step_flops = fn.lower(frames).cost_analysis()["flops"]
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        step_flops = None
 
     med = statistics.median(win_times)
     clips_per_sec = batch / med
@@ -113,7 +128,15 @@ def main() -> None:
                     "num_segments": k,
                     "frame_hw": [256, 320],
                     "median_step_s": round(med, 5),
-                    "median_fenced_step_s": round(statistics.median(fenced), 5),
+                    "median_single_dispatch_s": round(
+                        statistics.median(fenced), 5
+                    ),
+                    "step_tflops": (
+                        round(step_flops / 1e12, 3) if step_flops else None
+                    ),
+                    "effective_tflops_per_s": (
+                        round(step_flops / med / 1e12, 1) if step_flops else None
+                    ),
                     "window": window,
                     "iters": iters,
                 },

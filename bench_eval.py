@@ -56,12 +56,14 @@ def main() -> None:
         _, accs = jax.lax.scan(body, key0, None, length=window)
         return accs
 
-    run_window(jax.random.PRNGKey(0)).block_until_ready()  # compile
+    np.asarray(run_window(jax.random.PRNGKey(0)))  # compile + warm
 
     win_times = []
     for i in range(iters):
         t0 = time.perf_counter()
-        run_window(jax.random.PRNGKey(i)).block_until_ready()
+        # Host read of all window outputs = true device sync (the axon
+        # tunnel's block_until_ready is not a reliable fence; see bench.py).
+        np.asarray(run_window(jax.random.PRNGKey(i)))
         win_times.append((time.perf_counter() - t0) / window)
 
     med = statistics.median(win_times)

@@ -35,7 +35,7 @@ def main() -> None:
         compute_dtype="bfloat16" if platform == "tpu" else "float32",
     )
     state = tr.create_train_state(cfg, jax.random.PRNGKey(0), sample_hw=(crop, crop))
-    step = tr.make_train_step(cfg)
+    step = tr.make_train_step(cfg, donate=False)  # scan carries state instead
 
     rng = np.random.default_rng(0)
     frames = jax.device_put(jnp.asarray(
@@ -43,28 +43,42 @@ def main() -> None:
     labels = jax.device_put(jnp.asarray(
         rng.integers(0, cfg.num_classes, size=batch).astype(np.int32)))
 
-    state, m = step(state, frames, labels, jax.random.PRNGKey(1))  # compile
-    jax.block_until_ready(m["loss"])
+    # Device-side scan of `window` train steps in ONE program; sync by
+    # reading the final loss back to host (the axon tunnel's
+    # block_until_ready is not a reliable fence — see bench.py docstring).
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_window(state, key, frames, labels):
+        def body(carry, _):
+            st, k2 = carry
+            k2, sub = jax.random.split(k2)
+            st, m = step(st, frames, labels, sub)
+            return (st, k2), m["loss"]
+        (state, _), losses = jax.lax.scan(
+            body, (state, key), None, length=window
+        )
+        return state, losses[-1]
+
+    state, loss = run_window(state, jax.random.PRNGKey(1), frames, labels)
+    float(loss)  # compile + warm
 
     win_times = []
-    key = jax.random.PRNGKey(2)
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.perf_counter()
-        for j in range(window):
-            key, sub = jax.random.split(key)
-            state, m = step(state, frames, labels, sub)
-        jax.block_until_ready((state, m))
+        state, loss = run_window(
+            state, jax.random.PRNGKey(2 + i), frames, labels
+        )
+        float(loss)  # host read = true device sync
         win_times.append((time.perf_counter() - t0) / window)
 
-    # Cross-check: fully-fenced steps (fence the WHOLE state, not just the
-    # metrics — fencing one output can under-report on async backends).
-    fenced = []
-    for _ in range(max(2, iters // 2)):
-        key, sub = jax.random.split(key)
-        t0 = time.perf_counter()
-        state, m = step(state, frames, labels, sub)
-        jax.block_until_ready((state, m))
-        fenced.append(time.perf_counter() - t0)
+    try:
+        step_flops = (
+            run_window.lower(state, jax.random.PRNGKey(0), frames, labels)
+            .cost_analysis()["flops"] / window
+        )
+    except Exception:  # noqa: BLE001
+        step_flops = None
 
     med = statistics.median(win_times)
     print(json.dumps({
@@ -75,7 +89,10 @@ def main() -> None:
         "detail": {"platform": platform, "batch_clips": batch,
                    "num_segments": k, "frame_hw": list(hw),
                    "median_step_s": round(med, 5),
-                   "median_fenced_step_s": round(statistics.median(fenced), 5),
+                   "step_tflops": (round(step_flops / 1e12, 3)
+                                   if step_flops else None),
+                   "effective_tflops_per_s": (round(step_flops / med / 1e12, 1)
+                                              if step_flops else None),
                    "window": window},
     }))
 

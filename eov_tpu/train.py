@@ -92,7 +92,9 @@ def create_train_state(
     )
 
 
-def make_train_step(cfg: TrainConfig, mesh: Mesh | None = None) -> Callable:
+def make_train_step(
+    cfg: TrainConfig, mesh: Mesh | None = None, donate: bool = True
+) -> Callable:
     """Jitted TSN train step: (state, frames_u8 [B,K,H,W,3], labels [B], key).
 
     With a mesh, the batch is sharded (B over 'data', K over 'frame') and the
@@ -140,8 +142,9 @@ def make_train_step(cfg: TrainConfig, mesh: Mesh | None = None) -> Callable:
         )
         return new_state, {"loss": loss, "accuracy": acc}
 
+    dn = (0,) if donate else ()
     if mesh is None:
-        return jax.jit(train_step, donate_argnums=(0,))
+        return jax.jit(train_step, donate_argnums=dn)
 
     repl = NamedSharding(mesh, P())
     batch_shard = NamedSharding(mesh, P(DATA_AXIS, FRAME_AXIS))
@@ -151,7 +154,7 @@ def make_train_step(cfg: TrainConfig, mesh: Mesh | None = None) -> Callable:
     return jax.jit(
         train_step,
         in_shardings=(repl, batch_shard, label_shard, repl),
-        donate_argnums=(0,),
+        donate_argnums=dn,
     )
 
 
