@@ -184,3 +184,23 @@ def test_multichip_extract_end_to_end_with_padded_tail(
     np.testing.assert_allclose(
         np.asarray(t1.features), np.asarray(t2.features), rtol=1e-4, atol=1e-5
     )
+
+
+def test_distributed_helpers_single_process(devices8):
+    """SURVEY.md §4.5: the DCN wiring degrades gracefully at process_count=1
+    — record sharding is the identity and per-host batches lift to global
+    arrays sharded over 'data'."""
+    from eov_tpu.parallel import distributed as dist
+
+    dist.initialize()  # single-process no-op
+    records = list(range(10))
+    assert dist.process_record_shard(records) == records
+    assert dist.process_record_shard(records, process_index=1,
+                                     process_count=4) == [1, 5, 9]
+
+    mesh = make_mesh(8, 1, devices=devices8)
+    host = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    arr = dist.host_batch_to_global(mesh, host)
+    assert arr.shape == (16, 3)
+    np.testing.assert_array_equal(np.asarray(arr), host)
+    assert len(arr.sharding.device_set) == 8
