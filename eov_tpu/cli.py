@@ -174,7 +174,7 @@ def cmd_eval(args) -> int:
     cfg = preset.eval
     overrides = {}
     for field in ("n_way", "k_shot", "n_query", "n_episodes", "metric",
-                  "fusion", "seed"):
+                  "fusion", "matcher", "seed"):
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
@@ -404,6 +404,7 @@ def main(argv=None) -> int:
             "--n-episodes": {"type": int, "dest": "n_episodes"},
             "--metric": {"choices": ["cosine", "euclidean"]},
             "--fusion": {"choices": ["max", "mean"]},
+            "--matcher": {"choices": ["auto", "xla", "pallas"]},
         },
     )
     add("episode", cmd_episode, **{"--n-way": {"type": int, "dest": "n_way"}})
