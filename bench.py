@@ -83,10 +83,16 @@ def main() -> None:
 
     @functools.partial(jax.jit, static_argnames=())
     def run_window(frames_u8):
-        def body(acc, _):
-            return acc + jnp.sum(fn(frames_u8)), None
+        # Each step's input must depend on the scan index, else XLA hoists
+        # the loop-invariant feature computation and "W steps" execute once
+        # (caught by the step_tflops sanity rail: >2x over hardware peak).
+        def body(acc, salt):
+            x = frames_u8 ^ salt  # cheap per-step variation, stays uint8
+            return acc + jnp.sum(fn(x)), None
         total, _ = jax.lax.scan(
-            body, jnp.zeros((), jnp.float32), None, length=window
+            body,
+            jnp.zeros((), jnp.float32),
+            jnp.arange(1, window + 1, dtype=jnp.uint8),
         )
         return total
 
@@ -108,7 +114,9 @@ def main() -> None:
         jax.profiler.stop_trace()
 
     try:
-        step_flops = fn.lower(frames).cost_analysis()["flops"]
+        step_flops = (
+            run_window.lower(frames).cost_analysis()["flops"] / window
+        )
     except Exception:  # noqa: BLE001 — cost analysis is best-effort
         step_flops = None
 
