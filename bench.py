@@ -118,7 +118,17 @@ def main() -> None:
             run_window.lower(frames).cost_analysis()["flops"] / window
         )
     except Exception:  # noqa: BLE001 — cost analysis is best-effort
-        step_flops = None
+        try:
+            # Pallas custom calls break HLO cost analysis; count the
+            # semantically-identical XLA program instead.
+            xla_fn = make_feature_fn(
+                params,
+                ExtractConfig(num_segments=k, scale_size=256, crop_size=224,
+                              pallas_crop=False, stem_s2d=s2d),
+            )
+            step_flops = xla_fn.lower(frames).cost_analysis()["flops"]
+        except Exception:  # noqa: BLE001
+            step_flops = None
 
     med = statistics.median(win_times)
     clips_per_sec = batch / med

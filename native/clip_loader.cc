@@ -118,14 +118,33 @@ int decode_jpeg(const uint8_t* data, size_t len, uint8_t* out, int th,
 
 // ---- thread pool ----------------------------------------------------------
 
+// Completion tracker: counted-down by workers, awaited via condvar (no
+// busy-wait — spinning would steal cycles from decode threads on small
+// hosts).
+struct Completion {
+  std::mutex mu;
+  std::condition_variable cv;
+  std::atomic<int> err{0};
+  int remaining = 0;
+
+  void Arm(int n) { remaining = n; }
+  void Done() {
+    std::lock_guard<std::mutex> l(mu);
+    if (--remaining == 0) cv.notify_all();
+  }
+  void Wait() {
+    std::unique_lock<std::mutex> l(mu);
+    cv.wait(l, [this] { return remaining == 0; });
+  }
+};
+
 struct Task {
   const Store* store;
   int clip;
   const int32_t* frame_idx;  // [k]
   int k;
   uint8_t* out;  // [k, h, w, 3]
-  std::atomic<int>* err;
-  std::atomic<int>* remaining;
+  Completion* done;
 };
 
 class Pool {
@@ -195,8 +214,8 @@ void Pool::Run() {
       q_.pop();
     }
     int rc = load_clip_frames(*t.store, t.clip, t.frame_idx, t.k, t.out);
-    if (rc != 0) t.err->store(rc);
-    t.remaining->fetch_sub(1);
+    if (rc != 0) t.done->err.store(rc);
+    t.done->Done();
   }
 }
 
@@ -207,8 +226,7 @@ struct Batch {
   std::vector<int32_t> frames;  // [b, k]
   int k = 0;
   uint8_t* out = nullptr;  // caller-owned destination
-  std::atomic<int> err{0};
-  std::atomic<int> remaining{0};
+  Completion done;
 };
 
 struct Loader {
@@ -249,19 +267,35 @@ void* eovc_open(const char* path, int n_threads) {
     delete L;
     return nullptr;
   }
-  // Parse index.
+  // Parse index (bounds-checked against the mapped file: a truncated or
+  // corrupt shard must fail open, not read out of bounds).
   const uint8_t* q = L->store.base + L->store.hdr.index_off;
+  const uint8_t* end = L->store.base + L->store.size;
+  auto fail = [&]() -> void* {
+    munmap(p, L->store.size);
+    close(L->store.fd);
+    delete L;
+    return nullptr;
+  };
+  if (L->store.hdr.index_off > L->store.size) return fail();
   L->store.clips.resize(L->store.hdr.n_clips);
   for (uint64_t i = 0; i < L->store.hdr.n_clips; ++i) {
     ClipMeta& m = L->store.clips[i];
+    if (q + sizeof(ClipMetaFixed) > end) return fail();
     std::memcpy(&m.fixed, q, sizeof(ClipMetaFixed));
     q += sizeof(ClipMetaFixed);
+    if (m.fixed.n_frames < 0 ||
+        q + 12ull * m.fixed.n_frames > end)
+      return fail();
     m.frame_off.resize(m.fixed.n_frames);
     std::memcpy(m.frame_off.data(), q, 8ull * m.fixed.n_frames);
     q += 8ull * m.fixed.n_frames;
     m.frame_len.resize(m.fixed.n_frames);
     std::memcpy(m.frame_len.data(), q, 4ull * m.fixed.n_frames);
     q += 4ull * m.fixed.n_frames;
+    for (int32_t f = 0; f < m.fixed.n_frames; ++f) {
+      if (m.frame_off[f] + m.frame_len[f] > L->store.size) return fail();
+    }
   }
   L->n_threads = n_threads > 0 ? n_threads : 1;
   L->pool.reset(new Pool(L->n_threads));
@@ -309,15 +343,15 @@ int32_t eovc_load_batch(void* h, const int32_t* clips, int32_t b,
   auto* L = static_cast<Loader*>(h);
   const size_t clip_bytes =
       static_cast<size_t>(k) * L->store.hdr.h * L->store.hdr.w * 3;
-  std::atomic<int> err{0};
-  std::atomic<int> remaining{b};
+  Completion done;
+  done.Arm(b);
   for (int32_t i = 0; i < b; ++i) {
     Task t{&L->store, clips[i], frames + static_cast<size_t>(i) * k, k,
-           out + static_cast<size_t>(i) * clip_bytes, &err, &remaining};
+           out + static_cast<size_t>(i) * clip_bytes, &done};
     L->pool->Submit(t);
   }
-  while (remaining.load() > 0) std::this_thread::yield();
-  return err.load();
+  done.Wait();
+  return done.err.load();
 }
 
 // Async submit: enqueue a batch decode into caller buffer `out`; completion
@@ -331,14 +365,13 @@ int32_t eovc_submit(void* h, const int32_t* clips, int32_t b,
   batch->frames.assign(frames, frames + static_cast<size_t>(b) * k);
   batch->k = k;
   batch->out = out;
-  batch->remaining.store(b);
+  batch->done.Arm(b);
   const size_t clip_bytes =
       static_cast<size_t>(k) * L->store.hdr.h * L->store.hdr.w * 3;
   for (int32_t i = 0; i < b; ++i) {
     Task t{&L->store, batch->clips[i],
            batch->frames.data() + static_cast<size_t>(i) * k, k,
-           out + static_cast<size_t>(i) * clip_bytes, &batch->err,
-           &batch->remaining};
+           out + static_cast<size_t>(i) * clip_bytes, &batch->done};
     L->pool->Submit(t);
   }
   std::lock_guard<std::mutex> l(L->mu);
@@ -357,8 +390,8 @@ int32_t eovc_wait(void* h) {
     batch = std::move(L->inflight.front());
     L->inflight.pop();
   }
-  while (batch->remaining.load() > 0) std::this_thread::yield();
-  return batch->err.load();
+  batch->done.Wait();
+  return batch->done.err.load();
 }
 
 }  // extern "C"
