@@ -80,9 +80,11 @@ def _load_params(args, dtype_str: str):
     import jax
     import jax.numpy as jnp
 
-    from eov_tpu.models import ResNet50
+    from eov_tpu.models import get_arch
 
-    model = ResNet50(dtype=jnp.dtype(dtype_str))
+    arch = getattr(args, "arch", None) or "resnet50"
+    ctor, stage_sizes, bottleneck = get_arch(arch)
+    model = ctor(dtype=jnp.dtype(dtype_str))
     if args.params:
         if args.params.endswith((".pth", ".pt", ".npz")):
             from eov_tpu.tools.port_torch import port_resnet_state_dict
@@ -96,7 +98,9 @@ def _load_params(args, dtype_str: str):
 
                 sd = torch.load(args.params, map_location="cpu",
                                 weights_only=True)
-            return port_resnet_state_dict(sd)
+            return port_resnet_state_dict(
+                sd, stage_sizes=stage_sizes, bottleneck=bottleneck
+            )
         from eov_tpu.utils.checkpoint import load_pytree
 
         tree = load_pytree(args.params)
@@ -127,6 +131,10 @@ def cmd_extract(args) -> int:
     metrics = MetricsWriter(args.metrics)
 
     cfg, feature_fn, records = preset.extract, None, None
+    if args.arch:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, arch=args.arch)
     if args.multichip:
         # Config 5 (pod_extract): DP over all chips of all hosts — mesh from
         # parallel/, per-host record shard, batches padded to mesh-divisible.
@@ -216,7 +224,12 @@ def cmd_episode(args) -> int:
     preset = get_preset(args.preset)
     dataset = _load_dataset(args)
     params = _load_params(args, preset.extract.compute_dtype)
-    fn = make_feature_fn(params, preset.extract)
+    ecfg = preset.extract
+    if args.arch:
+        import dataclasses as _dc
+
+        ecfg = _dc.replace(ecfg, arch=args.arch)
+    fn = make_feature_fn(params, ecfg)
 
     n_way = args.n_way or 5
     rng = np.random.default_rng(args.seed)
@@ -384,6 +397,8 @@ def main(argv=None) -> int:
         p.add_argument("--synthetic-clips", type=int, default=8)
         p.add_argument("--params", default=None,
                        help="orbax dir, torch .pth, or .npz state_dict")
+        p.add_argument("--arch", default=None,
+                       help="backbone arch (resnet18/34/50/101/152)")
         for flag, kw in extra.items():
             p.add_argument(flag, **kw)
         p.set_defaults(fn=fn)

@@ -31,7 +31,7 @@ import numpy as np
 
 from eov_tpu.data.datasets import VideoDataset, VideoRecord
 from eov_tpu.data.store import FeatureStore
-from eov_tpu.models import resnet50_feature_apply
+from eov_tpu.models import feature_apply
 from eov_tpu.ops import preprocess
 from eov_tpu.utils.metrics import MetricsWriter, Timer
 
@@ -43,6 +43,7 @@ log = logging.getLogger("eov.extract")
 @dataclasses.dataclass(frozen=True)
 class ExtractConfig:
     num_segments: int = 8          # K, BASELINE.json:8
+    arch: str = "resnet50"         # backbone (models.ARCHS)
     batch_clips: int = 16          # clips per device batch
     scale_size: int = 256
     crop_size: int = 224
@@ -68,7 +69,7 @@ def _center_indices_np(num_frames: int, k: int) -> np.ndarray:
 
 
 def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
-    """jitted: uint8 frames [B, K, H, W, 3] -> clip features [B, 2048].
+    """jitted: uint8 frames [B, K, H, W, 3] -> clip features [B, D].
 
     Fuses preprocess (resize-matmul + crop + normalize), the ResNet-50
     forward, and TSN mean consensus (C5) into one XLA program. Distinct
@@ -105,8 +106,9 @@ def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
                 crop_size=cfg.crop_size,
                 dtype=dtype,
             )  # [B, K, 224, 224, 3]
-        feats = resnet50_feature_apply(
-            params, x, dtype=dtype, folded=folded, stem_s2d=cfg.stem_s2d
+        feats = feature_apply(
+            params, x, arch=cfg.arch, dtype=dtype, folded=folded,
+            stem_s2d=cfg.stem_s2d,
         )  # [B, K, D]
         return jnp.mean(feats.astype(jnp.float32), axis=1)  # TSN consensus
 

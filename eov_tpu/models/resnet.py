@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["ResNet", "ResNet18", "ResNet34", "ResNet50", "ResNet101",
-           "ResNet152", "resnet50_feature_apply", "fold_batchnorm"]
+           "ResNet152", "feature_apply", "resnet50_feature_apply",
+           "fold_batchnorm", "space_to_depth_stem"]
 
 ModuleDef = Any
 
@@ -315,21 +316,35 @@ def space_to_depth_stem(variables):
     return {k: rewrite(v) if k == "params" else v for k, v in variables.items()}
 
 
-def resnet50_feature_apply(
-    params, frames: jax.Array, *, dtype=jnp.bfloat16, folded: bool = False,
-    stem_s2d: bool = False,
+def feature_apply(
+    params, frames: jax.Array, *, arch: str = "resnet50",
+    dtype=jnp.bfloat16, folded: bool = False, stem_s2d: bool = False,
 ) -> jax.Array:
-    """Pure apply: frames [..., H, W, 3] float -> features [..., 2048].
+    """Pure apply: frames [..., H, W, 3] float -> features [..., D].
 
-    Leading dims are flattened for the conv stack and restored after — one
-    big NHWC batch keeps the MXU fed (SURVEY.md §3.1 hot loop). Pass
-    ``folded=True`` with ``fold_batchnorm`` variables for the BN-free
-    inference program.
+    D = 2048 (bottleneck archs) or 512 (basic-block archs). Leading dims are
+    flattened for the conv stack and restored after — one big NHWC batch
+    keeps the MXU fed (SURVEY.md §3.1 hot loop). Pass ``folded=True`` with
+    ``fold_batchnorm`` variables for the BN-free inference program.
     """
-    model = ResNet50(
+    from eov_tpu.models import get_arch  # registry lives in __init__
+
+    ctor, _, _ = get_arch(arch)
+    model = ctor(
         num_classes=None, dtype=dtype, folded=folded, stem_s2d=stem_s2d
     )
     lead = frames.shape[:-3]
     flat = frames.reshape((-1,) + frames.shape[-3:])
     feats = model.apply(params, flat)
     return feats.reshape(lead + (feats.shape[-1],))
+
+
+def resnet50_feature_apply(
+    params, frames: jax.Array, *, dtype=jnp.bfloat16, folded: bool = False,
+    stem_s2d: bool = False,
+) -> jax.Array:
+    """ResNet-50 alias of :func:`feature_apply` (the reference's backbone)."""
+    return feature_apply(
+        params, frames, arch="resnet50", dtype=dtype, folded=folded,
+        stem_s2d=stem_s2d,
+    )

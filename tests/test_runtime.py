@@ -123,3 +123,28 @@ def test_eovc_dataset_protocol(raw_shard):
     # Batch path.
     batch = eds.get_batch(eds.records[:2], np.array([[0, 1], [1, 2]]))
     assert batch.shape == (2, 2, 40, 56, 3)
+
+
+def test_native_rejects_truncated_shard(tmp_path):
+    """Corrupt/truncated EOVC files must fail open cleanly (bounds-checked
+    index parse), never read out of bounds; python reader raises too."""
+    import numpy as np
+
+    from eov_tpu.data.datasets import SyntheticVideoDataset
+    from eov_tpu.runtime import native
+    from eov_tpu.tools.pack_eovc import pack
+
+    ds = SyntheticVideoDataset(n_classes=2, clips_per_class=1, seed=0,
+                               height=40, width=48)
+    path = str(tmp_path / "t.eovc")
+    pack(ds, path, storage_short_side=36, codec="raw")
+    data = open(path, "rb").read()
+    trunc = str(tmp_path / "trunc.eovc")
+    with open(trunc, "wb") as f:
+        f.write(data[: len(data) - 200])  # cut into the index
+
+    if native.native_available():
+        import pytest
+
+        with pytest.raises((RuntimeError, OSError)):
+            native.NativeClipLoader(trunc)
