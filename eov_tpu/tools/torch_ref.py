@@ -37,6 +37,60 @@ class TorchBottleneck(nn.Module):
         return self.relu(y + idn)
 
 
+class TorchBasicBlock(nn.Module):
+    def __init__(self, in_ch, width, stride):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_ch, width, 3, stride=stride, padding=1,
+                               bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.relu = nn.ReLU()
+        if stride != 1 or in_ch != width:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(in_ch, width, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(width),
+            )
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return self.relu(y + idn)
+
+
+class TorchResNet18(nn.Module):
+    def __init__(self, num_classes=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU()
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        in_ch = 64
+        for i, n in enumerate([2, 2, 2, 2]):
+            width = 64 * 2**i
+            blocks = []
+            for j in range(n):
+                stride = 2 if (i > 0 and j == 0) else 1
+                blocks.append(TorchBasicBlock(in_ch, width, stride))
+                in_ch = width
+            setattr(self, f"layer{i + 1}", nn.Sequential(*blocks))
+        self.fc = nn.Linear(512, num_classes) if num_classes else None
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer1(x)
+        x = self.layer2(x)
+        x = self.layer3(x)
+        x = self.layer4(x)
+        x = x.mean(dim=(2, 3))
+        if self.fc is not None:
+            x = self.fc(x)
+        return x
+
+
 class TorchResNet50(nn.Module):
     def __init__(self, num_classes=None):
         super().__init__()

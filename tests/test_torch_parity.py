@@ -107,3 +107,31 @@ def test_per_stage_activation_parity(shared):
         scale = np.abs(ref).max() + 1e-9
         maxrel = np.abs(got - ref).max() / scale
         assert maxrel < 2e-3, f"stage layer{n} diverges: {maxrel}"
+
+
+def test_resnet18_parity_basic_blocks():
+    """Golden parity for the basic-block family (porter n_convs=2 path)."""
+    import torch
+
+    from eov_tpu.models import ResNet18
+    from eov_tpu.tools.torch_ref import TorchResNet18, torchvision_style_state_dict
+
+    torch.manual_seed(1)
+    tmodel = TorchResNet18().eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+    sd = torchvision_style_state_dict(tmodel)
+    variables = port_torch.port_resnet_state_dict(
+        sd, stage_sizes=(2, 2, 2, 2), bottleneck=False
+    )
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 96, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    model = ResNet18(dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    got = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert got.shape == ref.shape == (2, 512)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
