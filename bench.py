@@ -53,6 +53,9 @@ def main() -> None:
     # Warmup (compile + cache); fall back to the pure-XLA preprocess path if
     # the Pallas crop kernel misbehaves on this backend.
     s2d = os.environ.get("EOV_BENCH_S2D", "0") == "1"
+    # The single-dispatch cross-check compiles fn standalone — a second
+    # ~30-min compile on this tunneled dev chip — so it's opt-in.
+    single = os.environ.get("EOV_BENCH_SINGLE", "0") == "1"
     cfg = ExtractConfig(
         num_segments=k, scale_size=256, crop_size=224, stem_s2d=s2d
     )
@@ -60,19 +63,6 @@ def main() -> None:
         "+s2d" if s2d else ""
     )
     fn = make_feature_fn(params, cfg)
-    try:
-        fn(frames).block_until_ready()
-    except Exception as e:  # noqa: BLE001 — bench must always print its line
-        import sys
-
-        print(f"pallas path failed, XLA fallback: {e}", file=sys.stderr)
-        variant = "xla+fold_bn"
-        cfg = ExtractConfig(
-            num_segments=k, scale_size=256, crop_size=224, pallas_crop=False
-        )
-        fn = make_feature_fn(params, cfg)
-        fn(frames).block_until_ready()
-    fn(frames).block_until_ready()
 
     trace_dir = os.environ.get("EOV_BENCH_TRACE")
     if trace_dir:
@@ -96,19 +86,32 @@ def main() -> None:
         )
         return total
 
-    float(run_window(frames))  # compile + warm
+    try:
+        float(run_window(frames))  # compile + warm (Pallas path)
+    except Exception as e:  # noqa: BLE001 — bench must always print its line
+        import sys
+
+        print(f"pallas path failed, XLA fallback: {e}", file=sys.stderr)
+        variant = "xla+fold_bn"
+        cfg = ExtractConfig(
+            num_segments=k, scale_size=256, crop_size=224, pallas_crop=False
+        )
+        fn = make_feature_fn(params, cfg)
+        float(run_window(frames))
+
     win_times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         float(run_window(frames))  # np conversion = true device sync
         win_times.append((time.perf_counter() - t0) / window)
 
-    # Single dispatched step, host-read sync (includes one tunnel round trip).
+    # Single dispatched step, host-read sync (one tunnel round trip) — opt-in.
     fenced = []
-    for _ in range(max(2, iters // 2)):
-        t0 = time.perf_counter()
-        np.asarray(fn(frames))
-        fenced.append(time.perf_counter() - t0)
+    if single:
+        for _ in range(max(2, iters // 2)):
+            t0 = time.perf_counter()
+            np.asarray(fn(frames))
+            fenced.append(time.perf_counter() - t0)
 
     if trace_dir:
         jax.profiler.stop_trace()
@@ -146,8 +149,8 @@ def main() -> None:
                     "num_segments": k,
                     "frame_hw": [256, 320],
                     "median_step_s": round(med, 5),
-                    "median_single_dispatch_s": round(
-                        statistics.median(fenced), 5
+                    "median_single_dispatch_s": (
+                        round(statistics.median(fenced), 5) if fenced else None
                     ),
                     "step_tflops": (
                         round(step_flops / 1e12, 3) if step_flops else None
