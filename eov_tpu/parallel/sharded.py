@@ -85,6 +85,7 @@ def make_sharded_eval_step(
     episodes_per_step: int,
     metric: str = "cosine",
     fusion: str = "max",
+    embodied: bool = False,
 ) -> Callable:
     """Multi-chip eval step: E episodes sharded over 'data'.
 
@@ -93,6 +94,10 @@ def make_sharded_eval_step(
     communication is the [E] accuracy all-gather XLA inserts at the output.
     Episode sampling uses a per-shard key fold so the global episode set is
     deterministic for a given (seed, mesh size).
+
+    With ``embodied=True`` the step takes two extra args — the class-aligned
+    virtual bank [C, V, D] and its counts [C] (embodied.align_virtual_bank)
+    — and appends masked virtual members to each way's support (C9).
     """
     dp = mesh.shape[DATA_AXIS]
     if episodes_per_step % dp:
@@ -101,7 +106,7 @@ def make_sharded_eval_step(
         )
     e_local = episodes_per_step // dp
 
-    def local_step(key, features, counts):
+    def local_step(key, features, counts, virtual_feats, virtual_counts):
         shard = jax.lax.axis_index(DATA_AXIS)
         idx = ep.sample_episodes(
             jax.random.fold_in(key, shard),
@@ -115,6 +120,14 @@ def make_sharded_eval_step(
         sup = features[idx.class_ids[..., None], idx.support_idx]
         qry = features[idx.class_ids[..., None], idx.query_idx]
         mask = jnp.ones(sup.shape[:-1], jnp.float32)
+        if virtual_feats is not None:
+            virt = virtual_feats[idx.class_ids]
+            vmask = (
+                jnp.arange(virtual_feats.shape[1], dtype=jnp.int32)[None, None]
+                < virtual_counts[idx.class_ids][..., None]
+            ).astype(jnp.float32)
+            sup = jnp.concatenate([sup, virt], axis=2)
+            mask = jnp.concatenate([mask, vmask], axis=2)
         qry_flat = qry.reshape(e_local, n_way * n_query, -1)
         preds = similarity.predict(
             qry_flat, sup, mask, metric=metric, fusion=fusion
@@ -122,10 +135,17 @@ def make_sharded_eval_step(
         labels = ep.query_labels(n_way, n_query)[None, :]
         return jnp.mean((preds == labels).astype(jnp.float32), axis=-1)
 
+    n_in = 5 if embodied else 3
+    if not embodied:
+        def local_step3(key, features, counts):  # noqa: E306
+            return local_step(key, features, counts, None, None)
+        fn = local_step3
+    else:
+        fn = local_step
     mapped = shard_map(
-        local_step,
+        fn,
         mesh=mesh,
-        in_specs=(P(), P(), P()),
+        in_specs=tuple(P() for _ in range(n_in)),
         out_specs=P(DATA_AXIS),
         check_vma=False,
     )

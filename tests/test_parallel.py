@@ -204,3 +204,39 @@ def test_distributed_helpers_single_process(devices8):
     assert arr.shape == (16, 3)
     np.testing.assert_array_equal(np.asarray(arr), host)
     assert len(arr.sharding.device_set) == 8
+
+
+def test_sharded_embodied_eval_matches_single_device(devices8):
+    """C9 x multichip: sharded embodied eval == eval.eval_step per shard-key
+    protocol (same fold_in scheme, 1 device) and runs on the 8-dev mesh."""
+    from eov_tpu import eval as ev
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(6, 5, 64)).astype(np.float32))
+    counts = jnp.full((6,), 5, jnp.int32)
+    vfeats = jnp.asarray(rng.normal(size=(6, 3, 64)).astype(np.float32))
+    vcounts = jnp.asarray([3, 3, 0, 2, 3, 1], jnp.int32)
+
+    mesh8 = make_mesh(8, 1, devices=devices8)
+    step8 = sharded.make_sharded_eval_step(
+        mesh8, n_way=3, k_shot=1, n_query=2, episodes_per_step=16,
+        embodied=True,
+    )
+    acc8 = np.asarray(step8(jax.random.PRNGKey(5), feats, counts,
+                            vfeats, vcounts))
+    assert acc8.shape == (16,)
+
+    # Single-device mesh reproduces eval.eval_step with the same fold.
+    mesh1 = make_mesh(1, 1, devices=jax.devices()[:1])
+    step1 = sharded.make_sharded_eval_step(
+        mesh1, n_way=3, k_shot=1, n_query=2, episodes_per_step=16,
+        embodied=True,
+    )
+    acc1 = np.asarray(step1(jax.random.PRNGKey(5), feats, counts,
+                            vfeats, vcounts))
+    ref = np.asarray(ev.eval_step(
+        jax.random.fold_in(jax.random.PRNGKey(5), 0), feats, counts,
+        vfeats, vcounts, n_way=3, k_shot=1, n_query=2, n_step=16,
+        metric="cosine", fusion="max",
+    ))
+    np.testing.assert_allclose(acc1, ref, atol=1e-6)
