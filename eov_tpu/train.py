@@ -43,6 +43,7 @@ class TrainConfig:
     lr_decay_rate: float = 0.1
     partial_bn: bool = True           # TSN rule: freeze all BN but the first
     dropout: float = 0.5              # TSN dropout before the fc head
+    remat: bool = False               # checkpoint residual blocks (big batch)
     compute_dtype: str = "bfloat16"
     scale_size: int = 256
     crop_size: int = 224
@@ -73,6 +74,7 @@ def _model(cfg: TrainConfig):
         use_running_average=False,
         partial_bn=cfg.partial_bn,
         dropout_rate=cfg.dropout,
+        remat=cfg.remat,
     )
 
 

@@ -240,3 +240,25 @@ def test_sharded_embodied_eval_matches_single_device(devices8):
         metric="cosine", fusion="max",
     ))
     np.testing.assert_allclose(acc1, ref, atol=1e-6)
+
+
+def test_remat_train_step_matches_exact():
+    """remat=True (jax.checkpoint per block) is numerically identical."""
+    from eov_tpu import train as tr
+
+    base = dict(num_classes=4, num_segments=2, batch_clips=2,
+                compute_dtype="float32", scale_size=36, crop_size=32,
+                dropout=0.0)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 256, (2, 2, 40, 48, 3),
+                                      dtype=np.uint8))
+    labels = jnp.asarray(np.array([0, 1], np.int32))
+    kernels = {}
+    for remat in (False, True):
+        cfg = tr.TrainConfig(remat=remat, **base)
+        state = tr.create_train_state(cfg, jax.random.PRNGKey(0),
+                                      sample_hw=(32, 32))
+        step = tr.make_train_step(cfg, donate=False)
+        s2, _ = step(state, frames, labels, jax.random.PRNGKey(1))
+        kernels[remat] = np.asarray(s2.params["conv1"]["kernel"])
+    np.testing.assert_allclose(kernels[False], kernels[True], atol=1e-6)
