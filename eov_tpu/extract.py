@@ -138,7 +138,7 @@ def extract_features(
     todo = [r for r in work if r.video_id not in done]
     fault_rng = np.random.default_rng(cfg.fault_seed)
 
-    stats = {"total": len(dataset.records), "skipped_done": len(done),
+    stats = {"total": len(work), "skipped_done": len(work) - len(todo),
              "extracted": 0, "failed": 0}
     pending: tuple[list[VideoRecord], jax.Array] | None = None
     since_flush = 0
