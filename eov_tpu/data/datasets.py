@@ -140,40 +140,59 @@ class FrameFolderDataset:
 
 
 class EovcVideoDataset:
-    """VideoDataset over an EOVC shard (runtime/eovc.py format).
+    """VideoDataset over EOVC shards (runtime/eovc.py format).
 
-    Prefers the native threaded loader (runtime/native.py); falls back to
-    the pure-python reader. Class names come from a sidecar list or default
-    to label indices.
+    ``path`` may be a single ``.eovc`` file or a directory of them (a
+    sharded dataset, the production layout for Kinetics-scale packs —
+    tools/pack_eovc writes one shard per invocation; shard boundaries are
+    invisible to callers). Prefers the native threaded loader
+    (runtime/native.py); falls back to the pure-python reader. Class names
+    come from a sidecar list or default to label indices.
     """
 
     def __init__(self, path: str, class_names: Sequence[str] | None = None,
                  prefer_native: bool = True):
-        self._native = None
-        if prefer_native:
-            try:
-                from eov_tpu.runtime.native import NativeClipLoader, native_available
+        import glob as _glob
 
-                if native_available():
-                    self._native = NativeClipLoader(path)
-            except Exception:
-                self._native = None
-        from eov_tpu.runtime.eovc import EovcReader
+        if os.path.isdir(path):
+            paths = sorted(_glob.glob(os.path.join(path, "*.eovc")))
+            if not paths:
+                raise FileNotFoundError(f"no .eovc shards under {path}")
+        else:
+            paths = [path]
 
-        self._reader = None if self._native else EovcReader(path)
+        self._loaders = []  # (native: bool, loader) per shard
+        for p in paths:
+            native = None
+            if prefer_native:
+                try:
+                    from eov_tpu.runtime.native import (
+                        NativeClipLoader, native_available,
+                    )
+
+                    if native_available():
+                        native = NativeClipLoader(p)
+                except Exception:
+                    native = None
+            if native is not None:
+                self._loaders.append((True, native))
+            else:
+                from eov_tpu.runtime.eovc import EovcReader
+
+                self._loaders.append((False, EovcReader(p)))
 
         self.records = []
-        self._index = {}
-        if self._native:
-            n = self._native.n_clips
-            infos = [self._native.clip_info(i) for i in range(n)]
-        else:
-            infos = [
-                (c.video_id, c.label, c.n_frames) for c in self._reader.clips
-            ]
-        for i, (vid, label, nf) in enumerate(infos):
-            self.records.append(VideoRecord(vid, nf, label))
-            self._index[vid] = i
+        self._index = {}  # video_id -> (shard, local clip idx)
+        for s, (is_nat, ld) in enumerate(self._loaders):
+            if is_nat:
+                infos = [ld.clip_info(i) for i in range(ld.n_clips)]
+            else:
+                infos = [(c.video_id, c.label, c.n_frames) for c in ld.clips]
+            for i, (vid, label, nf) in enumerate(infos):
+                if vid in self._index:
+                    raise ValueError(f"duplicate video_id across shards: {vid}")
+                self.records.append(VideoRecord(vid, nf, label))
+                self._index[vid] = (s, i)
         max_label = max((r.label for r in self.records), default=-1)
         self.class_names = (
             list(class_names)
@@ -183,23 +202,48 @@ class EovcVideoDataset:
 
     @property
     def is_native(self) -> bool:
-        return self._native is not None
+        return all(is_nat for is_nat, _ in self._loaders)
+
+    def _load_one(self, shard: int, clip: int, idx: np.ndarray) -> np.ndarray:
+        is_nat, ld = self._loaders[shard]
+        if is_nat:
+            return ld.load_batch([clip], idx[None, :])[0]
+        return ld.load_frames(clip, idx)
 
     def get_frames(self, record: VideoRecord, indices: np.ndarray) -> np.ndarray:
-        i = self._index[record.video_id]
-        idx = np.asarray(indices, np.int32)
-        if self._native:
-            return self._native.load_batch([i], idx[None, :])[0]
-        return self._reader.load_frames(i, idx)
+        s, i = self._index[record.video_id]
+        return self._load_one(s, i, np.asarray(indices, np.int32))
 
     def get_batch(self, records, indices: np.ndarray) -> np.ndarray:
-        """Pooled multi-clip load [B, K, H, W, 3] (native fast path)."""
-        ids = [self._index[r.video_id] for r in records]
-        if self._native:
-            return self._native.load_batch(ids, np.asarray(indices, np.int32))
-        return np.stack(
-            [self._reader.load_frames(i, f) for i, f in zip(ids, indices)]
-        )
+        """Pooled multi-clip load [B, K, H, W, 3] (native fast path).
+
+        Groups records by shard so each shard's thread pool decodes its
+        members in one call; order is restored to match ``records``.
+        """
+        indices = np.asarray(indices, np.int32)
+        by_shard: dict[int, list[int]] = {}
+        locs = []
+        for pos, r in enumerate(records):
+            s, i = self._index[r.video_id]
+            by_shard.setdefault(s, []).append(pos)
+            locs.append((s, i))
+        out = None
+        for s, positions in by_shard.items():
+            is_nat, ld = self._loaders[s]
+            ids = [locs[p][1] for p in positions]
+            idx = indices[positions]
+            if is_nat:
+                block = ld.load_batch(ids, idx)
+            else:
+                block = np.stack(
+                    [ld.load_frames(i, f) for i, f in zip(ids, idx)]
+                )
+            if out is None:
+                out = np.empty(
+                    (len(records),) + block.shape[1:], block.dtype
+                )
+            out[positions] = block
+        return out
 
 
 def load_split_txt(path: str) -> list[tuple[str, int, int]]:

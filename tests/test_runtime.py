@@ -148,3 +148,31 @@ def test_native_rejects_truncated_shard(tmp_path):
 
         with pytest.raises((RuntimeError, OSError)):
             native.NativeClipLoader(trunc)
+
+
+def test_sharded_eovc_directory_dataset(tmp_path):
+    """A directory of .eovc shards reads as one dataset (production layout);
+    pooled get_batch spans shards and restores record order."""
+    import numpy as np
+
+    from eov_tpu.data.datasets import EovcVideoDataset, SyntheticVideoDataset
+    from eov_tpu.tools.pack_eovc import pack
+
+    a = SyntheticVideoDataset(n_classes=2, clips_per_class=2, seed=0,
+                              height=40, width=48, name="sa")
+    b = SyntheticVideoDataset(n_classes=2, clips_per_class=1, seed=1,
+                              height=40, width=48, name="sb")
+    pack(a, str(tmp_path / "00.eovc"), storage_short_side=36, codec="raw")
+    pack(b, str(tmp_path / "01.eovc"), storage_short_side=36, codec="raw")
+
+    ds = EovcVideoDataset(str(tmp_path))
+    assert len(ds.records) == 6
+    # Interleave records across shards; batch must come back in order.
+    recs = [ds.records[i] for i in (5, 0, 4, 1)]
+    idx = np.zeros((4, 3), np.int32)
+    idx[:] = [0, 1, 2]
+    batch = ds.get_batch(recs, idx)
+    assert batch.shape[:2] == (4, 3)
+    for j, r in enumerate(recs):
+        single = ds.get_frames(r, idx[j])
+        np.testing.assert_array_equal(batch[j], single)
