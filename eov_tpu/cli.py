@@ -53,6 +53,13 @@ def _load_dataset(args):
             clips_per_class=args.synthetic_clips,
             seed=args.seed,
         )
+    if args.dataset == "eovc":
+        if not args.root:
+            raise SystemExit("--root (file or shard dir) required for eovc")
+        names = None
+        if args.split and args.split.endswith(".json"):
+            names = datasets.load_split_json(args.split)["class_names"]
+        return datasets.EovcVideoDataset(args.root, class_names=names)
     if args.dataset == "framedir":
         if not (args.root and args.split):
             raise SystemExit("--root and --split required for framedir")
@@ -387,7 +394,7 @@ def main(argv=None) -> int:
         _add_common(p)
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--dataset", default="synthetic",
-                       choices=["synthetic", "framedir"])
+                       choices=["synthetic", "framedir", "eovc"])
         p.add_argument("--root", default=None)
         p.add_argument("--split", default=None)
         p.add_argument("--split-name", default="all")

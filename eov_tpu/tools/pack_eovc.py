@@ -34,8 +34,16 @@ def resize_short_side_np(frames: np.ndarray, size: int) -> np.ndarray:
 
 
 def pack(dataset, out_path: str, *, storage_short_side: int | None = 256,
-         codec: str = "raw", jpeg_quality: int = 90) -> int:
-    """Write all records of `dataset` into one EOVC shard. Returns clip count."""
+         codec: str = "raw", jpeg_quality: int = 90,
+         clips_per_shard: int | None = None) -> int:
+    """Write `dataset` into EOVC storage. Returns clip count.
+
+    clips_per_shard=None writes one shard at out_path; otherwise out_path is
+    a directory of `shard_NNNNN.eovc` files (the production layout —
+    EovcVideoDataset reads the directory transparently).
+    """
+    import os
+
     from eov_tpu.runtime.eovc import EovcWriter
 
     # Probe the post-resize frame size from the first record.
@@ -45,31 +53,49 @@ def pack(dataset, out_path: str, *, storage_short_side: int | None = 256,
         probe = resize_short_side_np(probe, storage_short_side)
     h, w = probe.shape[1:3]
 
-    with EovcWriter(out_path, h, w, codec=codec) as wr:
-        for rec in dataset.records:
-            frames = dataset.get_frames(rec, np.arange(rec.num_frames))
-            if storage_short_side:
-                frames = resize_short_side_np(frames, storage_short_side)
-            if frames.shape[1:3] != (h, w):
-                raise ValueError(
-                    f"{rec.video_id}: frame size {frames.shape[1:3]} != ({h},{w});"
-                    " EOVC shards are size-normalized — pick a storage_short_side"
-                )
-            if codec == "jpeg":
-                import io
+    def encode(frames):
+        if codec != "jpeg":
+            return frames
+        import io
 
-                from PIL import Image
+        from PIL import Image
 
-                payloads = []
-                for t in range(frames.shape[0]):
-                    buf = io.BytesIO()
-                    Image.fromarray(frames[t]).save(
-                        buf, format="JPEG", quality=jpeg_quality
-                    )
-                    payloads.append(buf.getvalue())
-                wr.add_clip(rec.video_id, rec.label, payloads)
-            else:
-                wr.add_clip(rec.video_id, rec.label, frames)
+        payloads = []
+        for t in range(frames.shape[0]):
+            buf = io.BytesIO()
+            Image.fromarray(frames[t]).save(
+                buf, format="JPEG", quality=jpeg_quality
+            )
+            payloads.append(buf.getvalue())
+        return payloads
+
+    if clips_per_shard:
+        os.makedirs(out_path, exist_ok=True)
+
+    wr, shard_i, in_shard = None, 0, 0
+    for rec in dataset.records:
+        if wr is None:
+            path = (
+                os.path.join(out_path, f"shard_{shard_i:05d}.eovc")
+                if clips_per_shard else out_path
+            )
+            wr = EovcWriter(path, h, w, codec=codec)
+        frames = dataset.get_frames(rec, np.arange(rec.num_frames))
+        if storage_short_side:
+            frames = resize_short_side_np(frames, storage_short_side)
+        if frames.shape[1:3] != (h, w):
+            raise ValueError(
+                f"{rec.video_id}: frame size {frames.shape[1:3]} != ({h},{w});"
+                " EOVC shards are size-normalized — pick a storage_short_side"
+            )
+        wr.add_clip(rec.video_id, rec.label, encode(frames))
+        in_shard += 1
+        if clips_per_shard and in_shard >= clips_per_shard:
+            wr.close()
+            wr, in_shard = None, 0
+            shard_i += 1
+    if wr is not None:
+        wr.close()
     return len(dataset.records)
 
 
@@ -82,6 +108,8 @@ def main(argv=None) -> int:
     ap.add_argument("--synthetic-clips", type=int, default=8)
     ap.add_argument("--codec", choices=["raw", "jpeg"], default="raw")
     ap.add_argument("--short-side", type=int, default=256)
+    ap.add_argument("--clips-per-shard", type=int, default=None,
+                    help="shard the output directory (default: one file)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -92,10 +120,20 @@ def main(argv=None) -> int:
             n_classes=args.synthetic_classes,
             clips_per_class=args.synthetic_clips, seed=args.seed,
         )
+    elif args.dataset == "framedir":
+        if not (args.root and args.split):
+            raise SystemExit("--root and --split required for framedir")
+        if args.split.endswith(".json"):
+            meta = datasets.load_split_json(args.split)
+            split, names = meta["splits"]["all"], meta["class_names"]
+        else:
+            split = datasets.load_split_txt(args.split)
+            names = [str(i) for i in range(max(s[2] for s in split) + 1)]
+        ds = datasets.FrameFolderDataset(args.root, split, names)
     else:
-        raise SystemExit("framedir packing: load split + FrameFolderDataset")
+        raise SystemExit(f"unknown dataset {args.dataset}")
     n = pack(ds, args.out, storage_short_side=args.short_side,
-             codec=args.codec)
+             codec=args.codec, clips_per_shard=args.clips_per_shard)
     print(f"packed {n} clips -> {args.out}")
     return 0
 
