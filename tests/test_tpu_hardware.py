@@ -1,0 +1,116 @@
+"""On-hardware validation — runs ONLY with EOV_TEST_TPU=1 on a real TPU.
+
+The CPU suite validates semantics; these tests re-validate the behaviors
+that interpret/CPU mode provably cannot (this round's findings, see
+DESIGN.md §8 and BASELINE.md):
+
+* Mosaic has no direct u8->f32 cast (the Pallas crop kernel's int32 detour
+  must stay exact on hardware);
+* default-precision MXU matmuls truncate f32 inputs (resize + matcher
+  HIGHEST-precision paths must hold their parity bounds on hardware);
+* the tunnel's block_until_ready is not a reliable fence (these tests sync
+  via host reads only).
+
+Run: EOV_TEST_TPU=1 python -m pytest tests/test_tpu_hardware.py -q
+(compiles are minutes-slow over the axon tunnel; keep shapes small).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+requires_tpu = pytest.mark.skipif(
+    not os.environ.get("EOV_TEST_TPU"), reason="EOV_TEST_TPU=1 required"
+)
+
+
+@pytest.fixture(scope="module")
+def tpu_backend():
+    import jax
+
+    if jax.default_backend() not in ("tpu",):
+        pytest.skip("no TPU backend")
+    return jax.default_backend()
+
+
+@requires_tpu
+def test_pallas_crop_exact_on_hardware(tpu_backend):
+    import jax.numpy as jnp
+
+    from eov_tpu.ops import preprocess
+    from eov_tpu.ops.pallas_preprocess import crop_normalize
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (2, 64, 80, 3), dtype=np.uint8)
+    got = np.asarray(
+        crop_normalize(jnp.asarray(frames), crop=48, dtype=jnp.float32)
+    )
+    want = np.asarray(
+        preprocess.normalize(
+            preprocess.center_crop(jnp.asarray(frames, jnp.float32), 48)
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@requires_tpu
+def test_pallas_matcher_full_precision_on_hardware(tpu_backend):
+    import jax.numpy as jnp
+
+    from eov_tpu.ops import similarity
+    from eov_tpu.ops.pallas_similarity import episode_class_scores
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(4, 5, 256)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(4, 5, 3, 256)).astype(np.float32))
+    mask = jnp.ones((4, 5, 3), jnp.float32)
+    for metric in ("cosine", "euclidean"):
+        got = np.asarray(episode_class_scores(q, s, mask, metric=metric))
+        want = np.asarray(
+            similarity.fused_class_scores(q, s, mask, metric=metric)
+        )
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 1e-5, (metric, rel)
+        assert (got.argmax(-1) == want.argmax(-1)).all()
+
+
+@requires_tpu
+def test_f32_resize_pil_parity_on_hardware(tpu_backend):
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from eov_tpu.ops import resize as rz
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (93, 121, 3), dtype=np.uint8)
+    got = np.asarray(rz.resize_hw(jnp.asarray(img, jnp.float32), 64, 83))
+    ref = np.stack(
+        [
+            np.asarray(
+                Image.fromarray(img[:, :, c]).resize((83, 64), Image.BILINEAR),
+                np.float32,
+            )
+            for c in range(3)
+        ],
+        -1,
+    )
+    assert np.abs(got - ref).max() <= 1.0  # <= 1 uint8 LSB
+
+
+@requires_tpu
+def test_eval_matchers_agree_on_hardware(tpu_backend):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from eov_tpu.eval import EvalConfig, FeatureTable, evaluate
+
+    rng = np.random.default_rng(0)
+    protos = rng.normal(size=(12, 1, 256))
+    feats = (protos + 0.8 * rng.normal(size=(12, 10, 256))).astype(np.float32)
+    table = FeatureTable(jnp.asarray(feats), jnp.full((12,), 10, jnp.int32))
+    cfg = EvalConfig(n_way=5, n_query=3, n_episodes=64, seed=3)
+    rx = evaluate(table, dataclasses.replace(cfg, matcher="xla"))
+    rp = evaluate(table, dataclasses.replace(cfg, matcher="pallas"))
+    np.testing.assert_array_equal(rx.per_episode, rp.per_episode)
