@@ -11,12 +11,18 @@ survey's scheme: `SURVEY.md §N` / `BASELINE.json:N` rather than file:line
 into the reference tree.
 
 Layout:
-    data/      — decode, segment sampling, transforms, fixtures, feature store
-    models/    — flax ResNet backbone + TSN consensus
+    data/      — decode, segment sampling, transforms, fixtures, class
+                 splits, feature store (resumable manifest)
+    models/    — flax ResNet family (ARCHS registry) + TSN consensus,
+                 BN-fold / space-to-depth inference rewrites
     ops/       — Pallas/XLA kernels: fused preprocess, resize-as-matmul,
                  batched episode similarity
     parallel/  — mesh construction, shard_map extraction/eval, multi-host
-    utils/     — structured metrics, timing
+    runtime/   — EOVC clip container + native C++ loader binding
+    splits/    — checked-in one-shot class splits (C11)
+    tools/     — torch weight port, EOVC packer, split generator,
+                 accuracy-parity harness
+    utils/     — structured metrics, orbax checkpointing
     episodes.py / eval.py / embodied.py / extract.py / train.py — pipelines
 """
 
