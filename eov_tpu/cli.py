@@ -52,6 +52,7 @@ def _load_dataset(args):
             n_classes=args.synthetic_classes,
             clips_per_class=args.synthetic_clips,
             seed=args.seed,
+            virtual=getattr(args, "synthetic_virtual", False),
         )
     if args.dataset == "eovc":
         if not args.root:
@@ -402,6 +403,9 @@ def main(argv=None) -> int:
                        help="class-split json[:part] (eov_tpu/splits/, C11)")
         p.add_argument("--synthetic-classes", type=int, default=10)
         p.add_argument("--synthetic-clips", type=int, default=8)
+        p.add_argument("--synthetic-virtual", action="store_true",
+                       dest="synthetic_virtual",
+                       help="virtual-agent rendering (UnrealAction analog)")
         p.add_argument("--params", default=None,
                        help="orbax dir, torch .pth, or .npz state_dict")
         p.add_argument("--arch", default=None,

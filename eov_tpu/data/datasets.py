@@ -67,13 +67,26 @@ class SyntheticVideoDataset:
         width: int = 160,
         seed: int = 0,
         name: str = "synthetic",
+        virtual: bool = False,
     ):
         from eov_tpu.data import fixtures
 
         self._fixtures = fixtures
+        self._virtual = virtual
         self.name = name
         self.height, self.width = height, width
-        self.class_names = [f"{name}_class_{c:03d}" for c in range(n_classes)]
+        # Virtual datasets use a different class-name *style* for the same
+        # classes ("Synthetic Class 003" vs "synthetic_class_003"), matching
+        # how UnrealAction names differ from Kinetics/UCF — exercised by
+        # embodied.normalize_class_name alignment (C9).
+        if virtual:
+            self.class_names = [
+                f"{name.capitalize()} Class {c:03d}" for c in range(n_classes)
+            ]
+        else:
+            self.class_names = [
+                f"{name}_class_{c:03d}" for c in range(n_classes)
+            ]
         rng = np.random.default_rng(seed)
         self.records = []
         self._meta = {}
@@ -86,9 +99,12 @@ class SyntheticVideoDataset:
 
     def get_frames(self, record: VideoRecord, indices: np.ndarray) -> np.ndarray:
         c, j = self._meta[record.video_id]
-        clip = self._fixtures.synthetic_clip(
-            c, j, record.num_frames, self.height, self.width
+        render = (
+            self._fixtures.synthetic_virtual_clip
+            if self._virtual
+            else self._fixtures.synthetic_clip
         )
+        clip = render(c, j, record.num_frames, self.height, self.width)
         return clip[np.asarray(indices)]
 
 

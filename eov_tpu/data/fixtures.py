@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["synthetic_clip", "class_motion_params"]
+__all__ = ["synthetic_clip", "synthetic_virtual_clip", "class_motion_params"]
 
 
 def class_motion_params(class_id: int) -> dict:
@@ -64,4 +64,35 @@ def synthetic_clip(
         x0, x1 = int(max(0, cx[f] - half)), int(min(width, cx[f] + half))
         frames[f, y0:y1, x0:x1] = 1.0 - 0.5 * frames[f, y0:y1, x0:x1]
 
+    return np.clip(frames * 255.0, 0, 255).astype(np.uint8)
+
+
+def synthetic_virtual_clip(
+    class_id: int,
+    clip_id: int,
+    num_frames: int,
+    height: int = 128,
+    width: int = 160,
+) -> np.ndarray:
+    """Virtual-agent rendering of the same action class (UnrealAction analog).
+
+    Same class signature (grating params + hue, so real and virtual clips of
+    a class are feature-space neighbors) but a distinct rendering domain —
+    clean/high-contrast, no appearance jitter, no occluding square, inverted
+    background — modelling the paper's game-engine clips: noiseless
+    renders of the same actions (SURVEY.md §2d, C9).
+    """
+    p = class_motion_params(class_id)
+    rng = np.random.default_rng((class_id + 1) * 15_485_863 + clip_id)
+    phase = rng.uniform(0.0, 1.0)
+
+    y = np.linspace(0.0, 1.0, height, dtype=np.float32)[:, None]
+    x = np.linspace(0.0, 1.0, width, dtype=np.float32)[None, :]
+    t = np.arange(num_frames, dtype=np.float32)[:, None, None]
+    arg = 2.0 * np.pi * (
+        p["fx"] * x + p["fy"] * y + p["velocity"] * t + phase
+    )
+    # High-contrast clean render: square-ish wave, no jitter, no occluder.
+    base = 0.65 + 0.35 * np.tanh(3.0 * np.sin(arg))
+    frames = base[..., None] * p["hue"][None, None, None, :]
     return np.clip(frames * 255.0, 0, 255).astype(np.uint8)
