@@ -184,16 +184,38 @@ def extract_features(
                 metrics.write("decode_failure", video_id=rec.video_id, error=str(e))
         return oks, clips
 
+    seen_shapes: set[tuple] = set()
     for start in range(0, len(todo), cfg.batch_clips):
         batch = todo[start : start + cfg.batch_clips]
         oks, clips = _decode_batch(batch)
-        if oks:
-            stacked = np.stack(clips)
-            if cfg.pad_batches and len(clips) < cfg.batch_clips:
+        if clips:
+            hw = clips[0].shape[1:3]
+            if hw not in seen_shapes:
+                seen_shapes.add(hw)
+                if len(seen_shapes) == 4:
+                    # Each distinct resolution is a separate XLA compile
+                    # (minutes on TPU). Production fix: size-normalize the
+                    # storage (pack_eovc --short-side).
+                    log.warning(
+                        "4+ distinct frame resolutions seen (%s) — every new "
+                        "shape recompiles the device program; pre-normalize "
+                        "frame storage for throughput", sorted(seen_shapes),
+                    )
+        # Group by frame resolution: mixed-resolution datasets (raw
+        # framedirs) can't stack into one array; each group is one device
+        # batch (and one compile per distinct shape — see warning above).
+        groups: dict[tuple, tuple[list, list]] = {}
+        for rec, clip in zip(oks, clips):
+            g = groups.setdefault(clip.shape[1:3], ([], []))
+            g[0].append(rec)
+            g[1].append(clip)
+        for g_oks, g_clips in groups.values():
+            stacked = np.stack(g_clips)
+            if cfg.pad_batches and len(g_clips) < cfg.batch_clips:
                 # Repeat the last clip up to the full batch; _materialize's
                 # zip(records, feats) drops the padded rows.
                 pad = np.repeat(
-                    stacked[-1:], cfg.batch_clips - len(clips), axis=0
+                    stacked[-1:], cfg.batch_clips - len(g_clips), axis=0
                 )
                 stacked = np.concatenate([stacked, pad])
             frames = jnp.asarray(stacked)  # [B, K, H, W, 3] uint8
@@ -202,7 +224,7 @@ def extract_features(
                 feats_dev.block_until_ready()
             if pending is not None:
                 _materialize(pending)  # overlap: prior batch drains while
-            pending = (oks, feats_dev)  # this one computes
+            pending = (g_oks, feats_dev)  # this one computes
         metrics.write(
             "extract_batch", n=len(oks), failed=len(batch) - len(oks),
             seconds=timer.lap(),

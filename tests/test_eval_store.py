@@ -139,3 +139,36 @@ def test_align_virtual_bank_name_normalization():
     np.testing.assert_array_equal(counts, [3, 2, 0])
     with pytest.raises(KeyError):
         align_virtual_bank(["zzz"], ["HighJump"], vt, strict=True)
+
+
+def test_extract_mixed_resolution_dataset(tmp_path):
+    """Raw framedir datasets have per-video resolutions; extraction must
+    group by shape (one device batch per resolution), not crash on stack."""
+    from eov_tpu.data.datasets import SyntheticVideoDataset
+    from eov_tpu.extract import ExtractConfig, extract_features
+
+    a = SyntheticVideoDataset(n_classes=2, clips_per_class=2, seed=0,
+                              height=60, width=80, name="ra")
+    b = SyntheticVideoDataset(n_classes=2, clips_per_class=2, seed=1,
+                              height=80, width=60, name="rb")
+
+    class Mixed:
+        records = a.records + b.records
+        class_names = ["c0", "c1"]
+
+        def get_frames(self, rec, idx):
+            return (a if rec.video_id.startswith("ra") else b).get_frames(
+                rec, idx
+            )
+
+    def cheap_fn(frames):
+        # Resolution-independent featurizer (mean color per segment).
+        return jnp.mean(
+            jnp.asarray(frames, jnp.float32), axis=(1, 2, 3)
+        )
+
+    store = FeatureStore(str(tmp_path / "mix"), class_names=["c0", "c1"])
+    cfg = ExtractConfig(num_segments=3, batch_clips=4, deterministic=True)
+    stats = extract_features(Mixed(), None, store, cfg, feature_fn=cheap_fn)
+    assert stats["extracted"] == 8 and stats["failed"] == 0
+    assert len(store.done_ids()) == 8
