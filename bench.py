@@ -38,6 +38,12 @@ def main() -> None:
     batch = int(os.environ.get("EOV_BENCH_BATCH", "64" if platform == "tpu" else "2"))
     iters = int(os.environ.get("EOV_BENCH_ITERS", "8" if platform == "tpu" else "2"))
     window = int(os.environ.get("EOV_BENCH_WINDOW", "8" if platform == "tpu" else "2"))
+    # Input storage resolution: short-side-256 (default, crop on device) or
+    # e.g. "224x224" (crop-resolution storage: normalize-only preprocess).
+    hw = tuple(
+        int(v) for v in os.environ.get("EOV_BENCH_FRAME_HW", "256x320").split("x")
+    )
+    scale = int(os.environ.get("EOV_BENCH_SCALE", "256"))
     k = 8
 
     params = ResNet50(dtype=jnp.bfloat16).init(
@@ -46,7 +52,7 @@ def main() -> None:
     rng = np.random.default_rng(0)
     frames = jax.device_put(
         jnp.asarray(
-            rng.integers(0, 256, (batch, k, 256, 320, 3), dtype=np.uint8)
+            rng.integers(0, 256, (batch, k, *hw, 3), dtype=np.uint8)
         )
     )
 
@@ -57,7 +63,7 @@ def main() -> None:
     # ~30-min compile on this tunneled dev chip — so it's opt-in.
     single = os.environ.get("EOV_BENCH_SINGLE", "0") == "1"
     cfg = ExtractConfig(
-        num_segments=k, scale_size=256, crop_size=224, stem_s2d=s2d
+        num_segments=k, scale_size=scale, crop_size=224, stem_s2d=s2d
     )
     variant = ("pallas_crop" if platform == "tpu" else "xla") + "+fold_bn" + (
         "+s2d" if s2d else ""
@@ -94,7 +100,7 @@ def main() -> None:
         print(f"pallas path failed, XLA fallback: {e}", file=sys.stderr)
         variant = "xla+fold_bn"
         cfg = ExtractConfig(
-            num_segments=k, scale_size=256, crop_size=224, pallas_crop=False
+            num_segments=k, scale_size=scale, crop_size=224, pallas_crop=False
         )
         fn = make_feature_fn(params, cfg)
         float(run_window(frames))
@@ -126,7 +132,7 @@ def main() -> None:
             # semantically-identical XLA program instead.
             xla_fn = make_feature_fn(
                 params,
-                ExtractConfig(num_segments=k, scale_size=256, crop_size=224,
+                ExtractConfig(num_segments=k, scale_size=scale, crop_size=224,
                               pallas_crop=False, stem_s2d=s2d),
             )
             step_flops = xla_fn.lower(frames).cost_analysis()["flops"]
@@ -147,7 +153,7 @@ def main() -> None:
                     "variant": variant,
                     "batch_clips": batch,
                     "num_segments": k,
-                    "frame_hw": [256, 320],
+                    "frame_hw": list(hw),
                     "median_step_s": round(med, 5),
                     "median_single_dispatch_s": (
                         round(statistics.median(fenced), 5) if fenced else None
