@@ -386,6 +386,17 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_presets(args) -> int:
+    from eov_tpu.config import PRESETS, resolved_dict
+
+    for p in PRESETS.values():
+        print(f"{p.name:20s} {p.description}")
+        if getattr(args, "verbose", False):
+            print(json.dumps({"eval": resolved_dict(p.eval),
+                              "extract": resolved_dict(p.extract)}, indent=1))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser("eov", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -447,6 +458,9 @@ def main(argv=None) -> int:
     )
     add("fixtures", cmd_fixtures)
     add("bench", cmd_bench)
+    pp = sub.add_parser("presets", help="list config presets")
+    pp.add_argument("--verbose", action="store_true")
+    pp.set_defaults(fn=cmd_presets)
 
     args = ap.parse_args(argv)
     if getattr(args, "trace", None):
