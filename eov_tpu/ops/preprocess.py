@@ -27,6 +27,7 @@ __all__ = [
     "center_crop",
     "preprocess_eval",
     "preprocess_train",
+    "preprocess_train_multiscale",
 ]
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
@@ -85,10 +86,9 @@ def preprocess_train(
     The crop offset and flip decision are sampled once per *clip* (all K
     segment frames get the same geometry), matching the reference's
     Group-transform semantics where one random draw applies to the whole
-    frame group. Deviation note: the reference's TSN lineage uses
-    GroupMultiScaleCrop for training; this implements the simpler
-    random-crop+flip variant (also standard in TSN) to keep device shapes
-    static — revisit if finetune accuracy parity demands it (OPEN-4).
+    frame group. The TSN-faithful GroupMultiScaleCrop lives in
+    ``preprocess_train_multiscale`` (train.py's default); this simpler
+    random-crop+flip variant is kept as the ``augment='randomcrop'`` option.
 
     frames_u8: uint8 [K, H, W, 3] (one clip). vmap over clips for a batch.
     """
@@ -100,6 +100,69 @@ def preprocess_train(
     left = jax.random.randint(k_left, (), 0, w - crop_size + 1)
     x = jax.lax.dynamic_slice_in_dim(x, top, crop_size, axis=-3)
     x = jax.lax.dynamic_slice_in_dim(x, left, crop_size, axis=-2)
+    flip = jax.random.bernoulli(k_flip)
+    x = jnp.where(flip, jnp.flip(x, axis=-2), x)
+    return normalize(x, dtype)
+
+
+# TSN GroupMultiScaleCrop scale set (fractions of the short side).
+_MS_SCALES = (1.0, 0.875, 0.75, 0.66)
+
+
+def preprocess_train_multiscale(
+    key: jax.Array,
+    frames_u8: jax.Array,
+    *,
+    scale_size: int = 256,
+    crop_size: int = 224,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """TSN GroupMultiScaleCrop + random hflip, per clip (reference C3 train).
+
+    The TSN train-time augmentation: crop a region whose side is one of
+    {1, .875, .75, .66} x short side, at one of 5 canonical positions
+    (4 corners + center), then resize the region to ``crop_size``; one draw
+    applies to the whole K-frame group. (Full TSN also allows one step of
+    aspect distortion between the H and W scales; this uses square regions —
+    the dominant case — to keep the branch count at 4.)
+
+    TPU-first: crop side is data-dependent but drawn from a STATIC set, so
+    this is a 4-way ``lax.switch`` where each branch does a static-size
+    dynamic_slice + PIL-exact resize-to-crop (matmuls with per-branch static
+    weights). All branches emit [..., crop, crop, 3] — shapes stay static
+    under jit.
+
+    frames_u8: uint8 [K, H, W, 3] (one clip). vmap over clips for a batch.
+    """
+    x = frames_u8.astype(jnp.float32)
+    x = resize_ops.resize_short_side(x, scale_size)
+    h, w = x.shape[-3], x.shape[-2]
+    short = min(h, w)
+    sides = [min(int(short * s), short) for s in _MS_SCALES]
+
+    k_scale, k_pos, k_flip = jax.random.split(key, 3)
+    scale_i = jax.random.randint(k_scale, (), 0, len(sides))
+    pos_i = jax.random.randint(k_pos, (), 0, 5)
+
+    def make_branch(side: int):
+        def branch(x):
+            # 5 canonical offsets for this (static) side.
+            max_t, max_l = h - side, w - side
+            tops = jnp.asarray(
+                [0, 0, max_t, max_t, max_t // 2], jnp.int32
+            )
+            lefts = jnp.asarray(
+                [0, max_l, 0, max_l, max_l // 2], jnp.int32
+            )
+            y = jax.lax.dynamic_slice_in_dim(x, tops[pos_i], side, axis=-3)
+            y = jax.lax.dynamic_slice_in_dim(y, lefts[pos_i], side, axis=-2)
+            if side != crop_size:
+                y = resize_ops.resize_hw(y, crop_size, crop_size)
+            return y
+
+        return branch
+
+    x = jax.lax.switch(scale_i, [make_branch(s) for s in sides], x)
     flip = jax.random.bernoulli(k_flip)
     x = jnp.where(flip, jnp.flip(x, axis=-2), x)
     return normalize(x, dtype)

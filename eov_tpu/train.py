@@ -44,6 +44,8 @@ class TrainConfig:
     partial_bn: bool = True           # TSN rule: freeze all BN but the first
     dropout: float = 0.5              # TSN dropout before the fc head
     remat: bool = False               # checkpoint residual blocks (big batch)
+    augment: str = "multiscale"       # 'multiscale' (TSN GroupMultiScaleCrop)
+                                      # | 'randomcrop'
     compute_dtype: str = "bfloat16"
     scale_size: int = 256
     crop_size: int = 224
@@ -106,11 +108,17 @@ def make_train_step(
     model = _model(cfg)
     tx = _make_tx(cfg)
 
+    aug = (
+        preprocess.preprocess_train_multiscale
+        if cfg.augment == "multiscale"
+        else preprocess.preprocess_train
+    )
+
     def loss_fn(params, batch_stats, frames_u8, labels, key):
         b, k = frames_u8.shape[0], frames_u8.shape[1]
         keys = jax.random.split(key, b)
         x = jax.vmap(
-            lambda kk, clip: preprocess.preprocess_train(
+            lambda kk, clip: aug(
                 kk, clip, scale_size=cfg.scale_size, crop_size=cfg.crop_size,
                 dtype=jnp.dtype(cfg.compute_dtype),
             )

@@ -7,6 +7,7 @@ from inter-pass rounding is ~2 uint8 LSB (<1% of dynamic range) — bound:
 max <= 2 LSB, mean <= 0.5 LSB.
 """
 
+import jax
 import numpy as np
 import pytest
 from PIL import Image
@@ -90,3 +91,36 @@ def test_preprocess_train_geometry_shared_across_clip():
     const_clip = np.broadcast_to(clip[:1], clip.shape)
     out_c = np.asarray(preprocess.preprocess_train(key, jnp.asarray(const_clip)))
     np.testing.assert_allclose(out_c[0], out_c[-1], atol=1e-6)
+
+
+def test_multiscale_crop_shapes_and_group_semantics():
+    """GroupMultiScaleCrop (C3 train): static output shapes from a 4-scale
+    lax.switch, one geometry draw per clip, deterministic per key."""
+    rng = np.random.default_rng(0)
+    clip = jnp.asarray(rng.integers(0, 256, (3, 80, 100, 3), dtype=np.uint8))
+    outs = []
+    for i in range(8):
+        out = preprocess.preprocess_train_multiscale(
+            jax.random.PRNGKey(i), clip, scale_size=72, crop_size=64
+        )
+        assert out.shape == (3, 64, 64, 3)
+        assert np.isfinite(np.asarray(out)).all()
+        again = preprocess.preprocess_train_multiscale(
+            jax.random.PRNGKey(i), clip, scale_size=72, crop_size=64
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(again))
+        outs.append(np.asarray(out))
+    # different keys -> different crops (augmentation actually varies)
+    assert any(not np.array_equal(outs[0], o) for o in outs[1:])
+
+    # vmapped+jitted exactly as train.py uses it
+    f = jax.jit(jax.vmap(
+        lambda kk, c: preprocess.preprocess_train_multiscale(
+            kk, c, scale_size=72, crop_size=64
+        )
+    ))
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    clips = jnp.asarray(
+        rng.integers(0, 256, (4, 3, 80, 100, 3), dtype=np.uint8)
+    )
+    assert f(keys, clips).shape == (4, 3, 64, 64, 3)
