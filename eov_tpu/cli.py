@@ -347,6 +347,42 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_test(args) -> int:
+    """Video-level classification accuracy of a finetuned checkpoint."""
+    _setup_platform(args)
+    import jax
+
+    from eov_tpu import train as eov_train
+    from eov_tpu.utils.checkpoint import latest_step_dir, load_pytree
+    from eov_tpu.utils.metrics import MetricsWriter
+
+    dataset = _load_dataset(args)
+    cfg = eov_train.TrainConfig(
+        num_classes=len(dataset.class_names),
+        num_segments=args.num_segments or 8,
+        batch_clips=args.batch or 8,
+    )
+    state = eov_train.create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
+    if args.params:
+        path = latest_step_dir(args.params) or args.params
+        restored = load_pytree(
+            path,
+            template={"params": state.params,
+                      "batch_stats": state.batch_stats,
+                      "step": state.step,
+                      "opt_state": state.opt_state},
+        )
+        state = eov_train.TrainState(
+            step=restored["step"], params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+        )
+    m = eov_train.evaluate_classifier(state, cfg, dataset)
+    MetricsWriter(args.metrics).write("test_result", **m)
+    print(json.dumps(m))
+    return 0
+
+
 def cmd_fixtures(args) -> int:
     """Materialize a synthetic dataset as JPEG frame folders + split files."""
     import os
@@ -454,6 +490,13 @@ def main(argv=None) -> int:
             "--num-segments": {"type": int, "dest": "num_segments"},
             "--out": {"default": None},
             "--multichip": {"action": "store_true"},
+        },
+    )
+    add(
+        "test", cmd_test,
+        **{
+            "--batch": {"type": int},
+            "--num-segments": {"type": int, "dest": "num_segments"},
         },
     )
     add("fixtures", cmd_fixtures)

@@ -28,7 +28,7 @@ from eov_tpu.ops import preprocess
 from eov_tpu.parallel.mesh import DATA_AXIS, FRAME_AXIS
 
 __all__ = ["TrainConfig", "TrainState", "create_train_state", "make_train_step",
-           "train_epoch_synthetic"]
+           "train_epoch_synthetic", "evaluate_classifier"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -166,6 +166,68 @@ def make_train_step(
         in_shardings=(repl, batch_shard, label_shard, repl),
         donate_argnums=dn,
     )
+
+
+def evaluate_classifier(
+    state: TrainState,
+    cfg: TrainConfig,
+    dataset,
+    *,
+    batch_clips: int | None = None,
+) -> dict:
+    """Video-level classification accuracy of the finetuned TSN model.
+
+    The reference lineage's test protocol (SURVEY.md §3.5 counterpart):
+    deterministic center sampling of K segments, inference-mode BN,
+    consensus mean over segment logits, top-1 over the test split. This
+    closes the C12 train->test cycle; one-shot eval (eval.py) remains the
+    headline protocol.
+    """
+    import numpy as np
+
+    from eov_tpu.data import segments as seg  # noqa: F401 (host mirror below)
+
+    model = ResNet50(
+        num_classes=cfg.num_classes,
+        dtype=jnp.dtype(cfg.compute_dtype),
+        use_running_average=True,
+        dropout_rate=cfg.dropout,
+    )
+
+    @jax.jit
+    def logits_fn(frames_u8):
+        b, k = frames_u8.shape[0], frames_u8.shape[1]
+        x = preprocess.preprocess_eval(
+            frames_u8, scale_size=cfg.scale_size, crop_size=cfg.crop_size,
+            dtype=jnp.dtype(cfg.compute_dtype),
+        )
+        flat = x.reshape((b * k,) + x.shape[2:])
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            flat,
+            train=False,
+        )
+        return logits.reshape(b, k, -1).mean(axis=1)  # TSN consensus
+
+    bc = batch_clips or cfg.batch_clips
+    correct, total = 0, 0
+    recs = list(dataset.records)
+    for start in range(0, len(recs), bc):
+        batch = recs[start : start + bc]
+        clips, labels = [], []
+        for r in batch:
+            idx = (
+                r.num_frames * (2 * np.arange(cfg.num_segments) + 1)
+            ) // (2 * cfg.num_segments)
+            idx = np.minimum(idx, r.num_frames - 1)
+            clips.append(dataset.get_frames(r, idx))
+            labels.append(r.label)
+        preds = np.argmax(
+            np.asarray(logits_fn(jnp.asarray(np.stack(clips)))), axis=-1
+        )
+        correct += int((preds == np.asarray(labels)).sum())
+        total += len(batch)
+    return {"top1": correct / max(total, 1), "n": total}
 
 
 def train_epoch_synthetic(

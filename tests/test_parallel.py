@@ -262,3 +262,26 @@ def test_remat_train_step_matches_exact():
         s2, _ = step(state, frames, labels, jax.random.PRNGKey(1))
         kernels[remat] = np.asarray(s2.params["conv1"]["kernel"])
     np.testing.assert_allclose(kernels[False], kernels[True], atol=1e-6)
+
+
+def test_evaluate_classifier_protocol():
+    """C12 train->test cycle: evaluate_classifier runs the deterministic
+    center-sample consensus protocol (learning itself is covered by
+    test_train_step_dp_runs_and_learns and the CLI drives)."""
+    from eov_tpu import train as tr
+    from eov_tpu.data.datasets import SyntheticVideoDataset
+
+    ds = SyntheticVideoDataset(n_classes=3, clips_per_class=4, seed=0,
+                               height=48, width=64)
+    cfg = tr.TrainConfig(
+        num_classes=3, num_segments=2, batch_clips=4,
+        compute_dtype="float32", scale_size=40, crop_size=36,
+    )
+    state = tr.create_train_state(cfg, jax.random.PRNGKey(0),
+                                  sample_hw=(36, 36))
+    m1 = tr.evaluate_classifier(state, cfg, ds)
+    m2 = tr.evaluate_classifier(state, cfg, ds, batch_clips=5)
+    assert m1["n"] == m2["n"] == 12
+    assert 0.0 <= m1["top1"] <= 1.0
+    # Deterministic protocol: batch packing must not change the result.
+    assert m1["top1"] == m2["top1"]
