@@ -211,8 +211,16 @@ def cmd_eval(args) -> int:
         )
 
     metrics = MetricsWriter(args.metrics)
-    metrics.write("config", command="eval", config=resolved_dict(cfg))
-    res = evaluate(table, cfg, virtual=virtual)
+    metrics.write("config", command="eval", config=resolved_dict(cfg),
+                  multichip=bool(args.multichip))
+    if args.multichip:
+        from eov_tpu.parallel import distributed as dist
+        from eov_tpu.parallel.sharded import evaluate_sharded
+
+        dist.initialize()
+        res = evaluate_sharded(table, cfg, dist.global_mesh(), virtual=virtual)
+    else:
+        res = evaluate(table, cfg, virtual=virtual)
     metrics.write("eval_result", mean_acc=res.mean_acc, ci95=res.ci95,
                   n_episodes=len(res.per_episode))
     print(res)  # "accuracy: MM.MM% +/- C.CC%" — reference-compatible line
@@ -478,6 +486,7 @@ def main(argv=None) -> int:
             "--metric": {"choices": ["cosine", "euclidean"]},
             "--fusion": {"choices": ["max", "mean"]},
             "--matcher": {"choices": ["auto", "xla", "pallas"]},
+            "--multichip": {"action": "store_true"},
         },
     )
     add("episode", cmd_episode, **{"--n-way": {"type": int, "dest": "n_way"}})

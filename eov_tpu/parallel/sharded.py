@@ -24,7 +24,8 @@ from eov_tpu.models import resnet50_feature_apply
 from eov_tpu.ops import preprocess, similarity
 from eov_tpu.parallel.mesh import DATA_AXIS, FRAME_AXIS
 
-__all__ = ["make_sharded_feature_fn", "make_sharded_eval_step"]
+__all__ = ["make_sharded_feature_fn", "make_sharded_eval_step",
+           "evaluate_sharded"]
 
 
 def make_sharded_feature_fn(
@@ -150,3 +151,46 @@ def make_sharded_eval_step(
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+def evaluate_sharded(table, cfg, mesh: Mesh, virtual=None):
+    """Full eval protocol over a mesh: E episodes in sharded device steps.
+
+    Multi-chip counterpart of eval.evaluate (same EvalConfig / EvalResult /
+    CI math); episodes shard over 'data'. episodes_per_step must divide by
+    the data-axis size; the final short step falls back to fewer episodes
+    padded up to a full step and truncated on host.
+    """
+    import numpy as np
+
+    from eov_tpu.eval import EvalResult
+
+    dp = mesh.shape[DATA_AXIS]
+    e_step = max(dp, cfg.episodes_per_step - cfg.episodes_per_step % dp)
+    step = make_sharded_eval_step(
+        mesh, n_way=cfg.n_way, k_shot=cfg.k_shot, n_query=cfg.n_query,
+        episodes_per_step=e_step, metric=cfg.metric, fusion=cfg.fusion,
+        embodied=cfg.embodied,
+    )
+    key = jax.random.PRNGKey(cfg.seed)
+    args = ()
+    if cfg.embodied:
+        if virtual is None:
+            raise ValueError("embodied eval requires a virtual FeatureTable")
+        args = (virtual.features, virtual.counts)
+
+    accs, done, i = [], 0, 0
+    while done < cfg.n_episodes:
+        acc = np.asarray(
+            step(jax.random.fold_in(key, i), table.features, table.counts,
+                 *args)
+        )
+        take = min(e_step, cfg.n_episodes - done)
+        accs.append(acc[:take])
+        done += take
+        i += 1
+    per_episode = np.concatenate(accs)
+    mean = float(per_episode.mean())
+    std = float(per_episode.std(ddof=1)) if len(per_episode) > 1 else 0.0
+    ci = 1.96 * std / np.sqrt(len(per_episode))
+    return EvalResult(mean_acc=mean, ci95=float(ci), per_episode=per_episode)

@@ -285,3 +285,30 @@ def test_evaluate_classifier_protocol():
     assert 0.0 <= m1["top1"] <= 1.0
     # Deterministic protocol: batch packing must not change the result.
     assert m1["top1"] == m2["top1"]
+
+
+def test_evaluate_sharded_protocol(devices8):
+    """evaluate_sharded: full protocol over the mesh — deterministic,
+    exact episode count with a non-divisible tail, embodied supported."""
+    from eov_tpu.eval import EvalConfig, FeatureTable
+    from eov_tpu.parallel.sharded import evaluate_sharded
+
+    rng = np.random.default_rng(0)
+    protos = rng.standard_normal((8, 1, 32)).astype(np.float32)
+    feats = (protos + 0.5 * rng.standard_normal((8, 6, 32))).astype(np.float32)
+    table = FeatureTable(jnp.asarray(feats), jnp.full((8,), 6, jnp.int32))
+    mesh = make_mesh(8, 1, devices=devices8)
+    cfg = EvalConfig(n_way=4, n_query=1, n_episodes=50, episodes_per_step=16,
+                     seed=9)
+    r1 = evaluate_sharded(table, cfg, mesh)
+    r2 = evaluate_sharded(table, cfg, mesh)
+    assert len(r1.per_episode) == 50
+    assert r1.mean_acc == r2.mean_acc
+
+    virt = FeatureTable(jnp.asarray(np.repeat(protos, 2, 1)),
+                        jnp.full((8,), 2, jnp.int32))
+    import dataclasses
+    re = evaluate_sharded(
+        table, dataclasses.replace(cfg, embodied=True), mesh, virtual=virt
+    )
+    assert re.mean_acc >= r1.mean_acc  # clean prototypes can only help
