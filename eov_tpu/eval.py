@@ -122,9 +122,12 @@ def eval_step(
         mask = jnp.concatenate([mask, vmask], axis=2)
 
     qry_flat = qry.reshape(e, n_way * n_query, -1)
-    use_pallas = matcher == "pallas" or (
-        matcher == "auto"
-        and jax.default_backend() == "tpu"
+    # 'auto' resolves to the XLA path: measured 10% faster than the Pallas
+    # kernel at protocol scale (103k vs 94k episodes/s on v5e — XLA fuses
+    # the tiny normalize+matmul+fuse chain fine; BASELINE.md). The kernel
+    # stays available ('pallas') and hardware-parity-tested.
+    use_pallas = matcher == "pallas" and (
+        jax.default_backend() == "tpu"
         and qry_flat.shape[-1] % 128 == 0  # kernel needs lane-aligned D
     )
     if use_pallas:
