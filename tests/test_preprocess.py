@@ -124,3 +124,21 @@ def test_multiscale_crop_shapes_and_group_semantics():
         rng.integers(0, 256, (4, 3, 80, 100, 3), dtype=np.uint8)
     )
     assert f(keys, clips).shape == (4, 3, 64, 64, 3)
+
+
+def test_preprocess_eval_bf16_close_to_f32():
+    """The TPU throughput path (bf16 resize/normalize) stays within bf16
+    rounding of the f32 parity path."""
+    rng = np.random.default_rng(7)
+    frames = jnp.asarray(
+        rng.integers(0, 256, (4, 100, 73, 3), dtype=np.uint8)
+    )
+    f32 = np.asarray(
+        preprocess.preprocess_eval(frames, scale_size=96, crop_size=64)
+    )
+    bf16 = np.asarray(
+        preprocess.preprocess_eval(
+            frames, scale_size=96, crop_size=64, dtype=jnp.bfloat16
+        ).astype(jnp.float32)
+    )
+    assert np.abs(f32 - bf16).max() < 0.1  # values span ~[-2.6, 2.6]
