@@ -83,7 +83,10 @@ def main() -> None:
         # the loop-invariant feature computation and "W steps" execute once
         # (caught by the step_tflops sanity rail: >2x over hardware peak).
         def body(acc, salt):
-            x = frames_u8 ^ salt  # cheap per-step variation, stays uint8
+            # Minimal per-step variation: poke one pixel. A whole-array op
+            # (xor) measured 2.2% of device time in the xprof trace; the
+            # single-element update still defeats loop-invariant hoisting.
+            x = frames_u8.at[0, 0, 0, 0, 0].set(salt)
             return acc + jnp.sum(fn(x)), None
         total, _ = jax.lax.scan(
             body,
