@@ -6,12 +6,15 @@ extraction, one-shot eval (plain + embodied), and finetune. Equivalents:
     eov extract   — dataset -> clip features into a FeatureStore
     eov eval      — episodic one-shot eval over a FeatureStore (+ embodied)
     eov episode   — config-1 single episode from raw clips, end to end
-    eov train     — TSN finetune on meta-train classes
+    eov train     — TSN finetune on meta-train classes (ckpt/resume per epoch)
+    eov test      — video-level classification accuracy of a finetuned ckpt
     eov fixtures  — materialize a synthetic frame-folder dataset (JPEGs)
+    eov presets   — list checked-in config presets
     eov bench     — headline throughput benchmark (bench.py)
 
-Every run logs its resolved config + results to --metrics jsonl
-(SURVEY.md §5 observability).
+extract/eval/train take --multichip (mesh over all chips, parallel/);
+every subcommand takes --trace DIR (xprof), --debug-nans, --platform, and
+logs its resolved config + results to --metrics jsonl (SURVEY.md §5).
 """
 
 from __future__ import annotations
