@@ -20,7 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from eov_tpu import episodes as ep
-from eov_tpu.models import resnet50_feature_apply
+from eov_tpu.models import feature_apply
 from eov_tpu.ops import preprocess, similarity
 from eov_tpu.parallel.mesh import DATA_AXIS, FRAME_AXIS
 
@@ -36,6 +36,7 @@ def make_sharded_feature_fn(
     crop_size: int = 224,
     compute_dtype=jnp.bfloat16,
     fold_bn: bool = True,
+    arch: str = "resnet50",
 ) -> Callable:
     """Sharded clip featurizer: frames [B, K, H, W, 3] u8 -> features [B, D].
 
@@ -57,8 +58,8 @@ def make_sharded_feature_fn(
             frames_u8, scale_size=scale_size, crop_size=crop_size,
             dtype=compute_dtype,
         )
-        feats = resnet50_feature_apply(
-            params, x, dtype=compute_dtype, folded=folded
+        feats = feature_apply(
+            params, x, arch=arch, dtype=compute_dtype, folded=folded
         )
         # Local segment sum; global mean via frame-axis psum.
         local_sum = jnp.sum(feats.astype(jnp.float32), axis=1)
