@@ -50,20 +50,36 @@ def _setup_platform(args) -> None:
 def _load_dataset(args):
     from eov_tpu.data import datasets
 
+    def class_filtered(ds):
+        # Generic class-level one-shot restriction (C11), e.g.
+        # --class-split eov_tpu/splits/ucf101_oneshot.json:test
+        spec = getattr(args, "class_split", None)
+        if not spec:
+            return ds
+        from eov_tpu.data import class_splits as cs
+
+        path, _, part = spec.partition(":")
+        doc = cs.load_class_split(path)
+        return cs.filter_dataset_by_classes(
+            ds, doc["class_splits"][part or "test"]
+        )
+
     if args.dataset == "synthetic":
-        return datasets.SyntheticVideoDataset(
+        return class_filtered(datasets.SyntheticVideoDataset(
             n_classes=args.synthetic_classes,
             clips_per_class=args.synthetic_clips,
             seed=args.seed,
             virtual=getattr(args, "synthetic_virtual", False),
-        )
+        ))
     if args.dataset == "eovc":
         if not args.root:
             raise SystemExit("--root (file or shard dir) required for eovc")
         names = None
         if args.split and args.split.endswith(".json"):
             names = datasets.load_split_json(args.split)["class_names"]
-        return datasets.EovcVideoDataset(args.root, class_names=names)
+        return class_filtered(
+            datasets.EovcVideoDataset(args.root, class_names=names)
+        )
     if args.dataset == "framedir":
         if not (args.root and args.split):
             raise SystemExit("--root and --split required for framedir")
@@ -75,8 +91,6 @@ def _load_dataset(args):
             split = datasets.load_split_txt(args.split)
             names = [str(i) for i in range(max(s[2] for s in split) + 1)]
         if getattr(args, "class_split", None):
-            # Restrict to one class-level one-shot split (C11), e.g.
-            # --class-split eov_tpu/splits/ucf101_oneshot.json:test
             from eov_tpu.data import class_splits as cs
 
             path, _, part = args.class_split.partition(":")

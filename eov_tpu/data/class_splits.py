@@ -37,6 +37,7 @@ __all__ = [
     "load_class_split",
     "save_class_split",
     "filter_split_by_classes",
+    "filter_dataset_by_classes",
 ]
 
 SPLITS_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "splits")
@@ -124,3 +125,40 @@ def filter_split_by_classes(
         (p, n, remap[l]) for p, n, l in split if l in remap
     ]
     return out, keep_sorted
+
+
+class _ClassFilteredDataset:
+    """VideoDataset view restricted to a class subset, labels re-densified."""
+
+    def __init__(self, base, keep: Sequence[str]):
+        import dataclasses
+
+        self._base = base
+        self.class_names = sorted(keep)
+        remap = {
+            list(base.class_names).index(c): i
+            for i, c in enumerate(self.class_names)
+        }
+        self.records = [
+            dataclasses.replace(r, label=remap[r.label])
+            for r in base.records
+            if r.label in remap
+        ]
+
+    def get_frames(self, record, indices):
+        return self._base.get_frames(record, indices)
+
+    def get_batch(self, records, indices):
+        if hasattr(self._base, "get_batch"):
+            return self._base.get_batch(records, indices)
+        raise AttributeError("base dataset has no pooled get_batch")
+
+
+def filter_dataset_by_classes(dataset, keep: Sequence[str]):
+    """Wrap any VideoDataset, keeping only `keep` classes (dense labels).
+
+    The label remap matches filter_split_by_classes; pooled get_batch passes
+    through when the base dataset has one (record labels aren't used by the
+    loaders, so relabeled records load correctly).
+    """
+    return _ClassFilteredDataset(dataset, keep)

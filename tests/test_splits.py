@@ -65,3 +65,23 @@ def test_filter_split_by_classes_relabels_densely():
     for p, n, l in out:
         old = int(p[1:]) % 4
         assert l == {1: 0, 3: 1}[old]
+
+
+def test_filter_dataset_by_classes_wrapper():
+    """Generic class-filter view works over any VideoDataset (eovc/synthetic
+    path of the CLI --class-split flag)."""
+    import numpy as np
+
+    from eov_tpu.data.datasets import SyntheticVideoDataset
+
+    ds = SyntheticVideoDataset(n_classes=4, clips_per_class=2, seed=0,
+                               height=40, width=48)
+    keep = [ds.class_names[3], ds.class_names[1]]
+    f = cs.filter_dataset_by_classes(ds, keep)
+    assert f.class_names == sorted(keep)
+    assert len(f.records) == 4
+    assert {r.label for r in f.records} == {0, 1}
+    # frames still load through the relabeled records
+    r = f.records[0]
+    frames = f.get_frames(r, np.array([0, 1]))
+    assert frames.shape == (2, 40, 48, 3)
