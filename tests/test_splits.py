@@ -85,3 +85,43 @@ def test_filter_dataset_by_classes_wrapper():
     r = f.records[0]
     frames = f.get_frames(r, np.array([0, 1]))
     assert frames.shape == (2, 40, 48, 3)
+
+
+def test_cli_presets_and_class_split_parse(capsys):
+    """CLI surface: presets listing and class-split filtered synthetic load."""
+    import json
+    import os
+
+    from eov_tpu import cli
+    from eov_tpu.data import class_splits as _cs
+
+    assert cli.main(["presets"]) == 0
+    out = capsys.readouterr().out
+    for name in ("episode_cpu", "ucf101_600", "kinetics_embodied",
+                 "tpu_batched", "pod_extract"):
+        assert name in out
+
+    # parse + dataset load path of --class-split over synthetic
+    doc = {"protocol": "t", "class_splits": {
+        "train": ["synthetic_class_000"],
+        "test": ["synthetic_class_001", "synthetic_class_002"]}}
+    path = "/tmp/_cli_csplit.json"
+    _cs.save_class_split(path, doc)
+    ap_args = [
+        "--dataset", "synthetic", "--synthetic-classes", "3",
+        "--synthetic-clips", "2", "--class-split", f"{path}:test",
+    ]
+
+    class NS:  # argparse-shaped shim for _load_dataset
+        dataset = "synthetic"
+        synthetic_classes = 3
+        synthetic_clips = 2
+        seed = 0
+        synthetic_virtual = False
+        class_split = f"{path}:test"
+        root = split = None
+
+    ds = cli._load_dataset(NS())
+    assert ds.class_names == ["synthetic_class_001", "synthetic_class_002"]
+    assert len(ds.records) == 4
+    os.remove(path)
