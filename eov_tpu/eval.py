@@ -152,6 +152,14 @@ def evaluate(
     """Run the full protocol: E episodes in device-steps, mean ± 95% CI."""
     if cfg.embodied and virtual is None:
         raise ValueError("embodied eval requires a virtual FeatureTable")
+    if cfg.embodied and virtual is not None:
+        d_real = table.features.shape[-1]
+        d_virt = virtual.features.shape[-1]
+        if d_real != d_virt:
+            raise ValueError(
+                f"real ({d_real}-d) and virtual ({d_virt}-d) features were "
+                "extracted with different backbones; re-extract one side"
+            )
     # Host-side eligibility guard: inside jit the sampler cannot raise, and
     # with < n_way eligible classes it would silently pick invalid slots.
     need = cfg.k_shot + cfg.n_query

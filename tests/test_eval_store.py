@@ -172,3 +172,19 @@ def test_extract_mixed_resolution_dataset(tmp_path):
     stats = extract_features(Mixed(), None, store, cfg, feature_fn=cheap_fn)
     assert stats["extracted"] == 8 and stats["failed"] == 0
     assert len(store.done_ids()) == 8
+
+
+def test_embodied_rejects_mismatched_feature_dims():
+    table = eov_eval.FeatureTable(
+        jnp.ones((4, 3, 64)), jnp.full((4,), 3, jnp.int32)
+    )
+    virt = eov_eval.FeatureTable(
+        jnp.ones((4, 2, 32)), jnp.full((4,), 2, jnp.int32)
+    )
+    with pytest.raises(ValueError, match="different backbones"):
+        eov_eval.evaluate(
+            table,
+            eov_eval.EvalConfig(n_way=2, n_episodes=4, episodes_per_step=4,
+                                embodied=True),
+            virtual=virt,
+        )
