@@ -42,3 +42,15 @@ def test_bench_eval_schema(monkeypatch, capsys):
     rec = _run_capturing(bench_eval.main, capsys)
     assert rec["metric"] == "oneshot_eval_throughput"
     assert rec["value"] > 0
+
+
+def test_bench_decode_schema(monkeypatch, capsys):
+    monkeypatch.setenv("EOV_DECODE_CLIPS", "4")
+    monkeypatch.setenv("EOV_DECODE_K", "3")
+    sys.path.insert(0, ".")
+    import bench_decode
+
+    rec = _run_capturing(bench_decode.main, capsys)
+    assert rec["metric"] == "host_clip_decode_throughput"
+    paths = rec["detail"]["paths"]
+    assert "python_jpeg" in paths and all(v > 0 for v in paths.values())
