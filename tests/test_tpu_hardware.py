@@ -114,3 +114,41 @@ def test_eval_matchers_agree_on_hardware(tpu_backend):
     rx = evaluate(table, dataclasses.replace(cfg, matcher="xla"))
     rp = evaluate(table, dataclasses.replace(cfg, matcher="pallas"))
     np.testing.assert_array_equal(rx.per_episode, rp.per_episode)
+
+
+@requires_tpu
+def test_fused_feature_program_pallas_vs_xla_on_hardware(tpu_backend):
+    """The production program (Pallas crop + BN-folded bf16 backbone) agrees
+    with its pure-XLA twin end to end on hardware (small shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eov_tpu.extract import ExtractConfig, make_feature_fn
+    from eov_tpu.models import ResNet50
+
+    params = ResNet50(dtype=jnp.bfloat16).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 3))
+    )
+    frames = jnp.asarray(
+        np.random.default_rng(0).integers(
+            0, 256, (2, 3, 64, 80, 3), dtype=np.uint8
+        )
+    )
+    base = dict(num_segments=3, scale_size=64, crop_size=48)
+    f_pallas = make_feature_fn(
+        params, ExtractConfig(pallas_crop=True, **base)
+    )
+    f_xla = make_feature_fn(
+        params, ExtractConfig(pallas_crop=False, **base)
+    )
+    a = np.asarray(f_pallas(frames))
+    b = np.asarray(f_xla(frames))
+    scale = np.abs(b).max() + 1e-9
+    # The kernel's normalize affine runs in f32 (cast-on-store) while the
+    # XLA path normalizes in bf16, so backbone inputs differ by bf16 input
+    # rounding; through ~50 bf16 layers that measures ~3e-3 relative.
+    assert np.abs(a - b).max() / scale < 1.5e-2
+    # Feature direction must be essentially identical (what eval consumes).
+    an = a / np.linalg.norm(a, axis=1, keepdims=True)
+    bn = b / np.linalg.norm(b, axis=1, keepdims=True)
+    assert np.sum(an * bn, axis=1).min() > 0.99999
