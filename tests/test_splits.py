@@ -125,3 +125,17 @@ def test_cli_presets_and_class_split_parse(capsys):
     assert ds.class_names == ["synthetic_class_001", "synthetic_class_002"]
     assert len(ds.records) == 4
     os.remove(path)
+
+
+def test_cli_help_parses_for_every_subcommand(capsys):
+    """argparse wiring: --help must succeed for each subcommand."""
+    import pytest as _pytest
+
+    from eov_tpu import cli
+
+    for sub in ("extract", "eval", "episode", "train", "test", "fixtures",
+                "bench", "presets"):
+        with _pytest.raises(SystemExit) as e:
+            cli.main([sub, "--help"])
+        assert e.value.code == 0
+        capsys.readouterr()
