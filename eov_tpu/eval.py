@@ -172,12 +172,38 @@ def evaluate(
     vf = virtual.features if (cfg.embodied and virtual) else None
     vc = virtual.counts if (cfg.embodied and virtual) else None
 
+    # Resolve the matcher here, loudly: an explicit 'pallas' request that the
+    # backend/shape can't honor must not silently return XLA numbers (it
+    # would misattribute benchmark measurements).
+    matcher = cfg.matcher
+    if matcher == "pallas":
+        d = int(table.features.shape[-1])
+        reasons = []
+        if jax.default_backend() != "tpu":
+            reasons.append(f"backend is {jax.default_backend()}, not tpu")
+        if d % 128 != 0:
+            reasons.append(f"feature dim {d} is not lane-aligned (128)")
+        if reasons:
+            import warnings
+
+            warnings.warn(
+                "matcher='pallas' cannot be honored ("
+                + "; ".join(reasons)
+                + "); falling back to the XLA matcher",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            matcher = "xla"
+
     key = jax.random.PRNGKey(cfg.seed)
     accs = []
     done = 0
     step_i = 0
+    # Every step runs at the full episodes_per_step shape — the tail step is
+    # padded (extra episodes computed, truncated on host) so any n_episodes
+    # compiles exactly ONE device program (matching evaluate_sharded; a
+    # second trace is 20-40 min on the tunneled dev chip).
     while done < cfg.n_episodes:
-        n_step = min(cfg.episodes_per_step, cfg.n_episodes - done)
         acc = eval_step(
             jax.random.fold_in(key, step_i),
             table.features,
@@ -187,13 +213,14 @@ def evaluate(
             n_way=cfg.n_way,
             k_shot=cfg.k_shot,
             n_query=cfg.n_query,
-            n_step=n_step,
+            n_step=cfg.episodes_per_step,
             metric=cfg.metric,
             fusion=cfg.fusion,
-            matcher=cfg.matcher,
+            matcher=matcher,
         )
-        accs.append(np.asarray(acc))
-        done += n_step
+        take = min(cfg.episodes_per_step, cfg.n_episodes - done)
+        accs.append(np.asarray(acc)[:take])
+        done += take
         step_i += 1
 
     per_episode = np.concatenate(accs)

@@ -294,7 +294,11 @@ void* eovc_open(const char* path, int n_threads) {
     std::memcpy(m.frame_len.data(), q, 4ull * m.fixed.n_frames);
     q += 4ull * m.fixed.n_frames;
     for (int32_t f = 0; f < m.fixed.n_frames; ++f) {
-      if (m.frame_off[f] + m.frame_len[f] > L->store.size) return fail();
+      // Overflow-safe form: off + len can wrap u64 on a corrupt/adversarial
+      // shard (off near UINT64_MAX), which would defeat this exact check.
+      if (m.frame_off[f] > L->store.size ||
+          m.frame_len[f] > L->store.size - m.frame_off[f])
+        return fail();
     }
   }
   L->n_threads = n_threads > 0 ? n_threads : 1;

@@ -188,3 +188,43 @@ def test_embodied_rejects_mismatched_feature_dims():
                                 embodied=True),
             virtual=virt,
         )
+
+
+def test_eval_tail_step_single_compile(tmp_path):
+    """Non-divisible n_episodes pads the tail step: ONE trace, full count.
+
+    A second trace of eval_step is a 20-40 min compile on the tunneled dev
+    chip (VERDICT r1 weak #5); evaluate() must reuse the padded-step program
+    exactly like evaluate_sharded does.
+    """
+    ds, store, _ = _extract_to_store(tmp_path, name="tc")
+    table = store.to_table()
+    eov_eval.eval_step.clear_cache()
+    cfg = eov_eval.EvalConfig(n_way=3, n_episodes=10, episodes_per_step=4)
+    res = eov_eval.evaluate(table, cfg)
+    assert len(res.per_episode) == 10
+    assert eov_eval.eval_step._cache_size() == 1
+    # Episode prefix is stable: extending n_episodes never changes the
+    # episodes already scored (same per-step keys, host-side truncation).
+    res8 = eov_eval.evaluate(table, dataclasses_replace(cfg, n_episodes=8))
+    np.testing.assert_array_equal(res8.per_episode, res.per_episode[:8])
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
+
+
+def test_pallas_matcher_request_warns_when_unavailable(tmp_path):
+    """matcher='pallas' off-TPU must warn, not silently give XLA numbers."""
+    ds, store, _ = _extract_to_store(tmp_path, name="pw")
+    table = store.to_table()
+    cfg = eov_eval.EvalConfig(
+        n_way=3, n_episodes=4, episodes_per_step=4, matcher="pallas"
+    )
+    if jax.default_backend() == "tpu":
+        pytest.skip("pallas matcher is honored on TPU")
+    with pytest.warns(RuntimeWarning, match="pallas"):
+        res = eov_eval.evaluate(table, cfg)
+    assert len(res.per_episode) == 4
