@@ -59,14 +59,49 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+def _is_bn_param(path) -> bool:
+    """True for BatchNorm scale/bias leaves (module named bn*/downsample_bn)."""
+    mods = [getattr(p, "key", "") for p in path[:-1]]
+    return any(m.startswith("bn") or m == "downsample_bn" for m in mods)
+
+
+def _frozen_bn_mask(params):
+    """partial_bn rule: every BN affine except the stem bn1 is frozen.
+
+    TSN's get_optim_policies disables grads on frozen BN weight/bias, not
+    just their running statistics — without this the frozen layers' affines
+    would still drift under SGD + weight decay (ADVICE r1).
+    """
+
+    def frozen(path, _):
+        if not _is_bn_param(path):
+            return False
+        return not (len(path) == 2 and path[0].key == "bn1")  # stem trains
+
+    return jax.tree_util.tree_map_with_path(frozen, params)
+
+
+def _decay_mask(params):
+    """Weight decay on conv/fc kernels only — TSN policy sets decay_mult=0
+    for every bias and for all BN parameters."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: path[-1].key == "kernel", params
+    )
+
+
 def _make_tx(cfg: TrainConfig) -> optax.GradientTransformation:
     schedule = optax.exponential_decay(
         cfg.lr, cfg.lr_decay_steps, cfg.lr_decay_rate, staircase=True
     )
-    return optax.chain(
-        optax.add_decayed_weights(cfg.weight_decay),
-        optax.sgd(schedule, momentum=cfg.momentum),
+    stages = []
+    if cfg.partial_bn:
+        # Zero the frozen BN affines' grads before momentum/decay see them.
+        stages.append(optax.masked(optax.set_to_zero(), _frozen_bn_mask))
+    stages.append(
+        optax.masked(optax.add_decayed_weights(cfg.weight_decay), _decay_mask)
     )
+    stages.append(optax.sgd(schedule, momentum=cfg.momentum))
+    return optax.chain(*stages)
 
 
 def _model(cfg: TrainConfig):

@@ -145,6 +145,49 @@ def test_partial_bn_freezes_deep_stats():
     )
 
 
+def test_partial_bn_freezes_affines_and_tsn_decay_policy():
+    """TSN get_optim_policies (ADVICE r1): frozen BN scale/bias get NO
+    updates at all (grads masked to zero), and weight decay applies to
+    conv/fc kernels only — never to biases or BN affines."""
+    from eov_tpu import train as tr
+
+    cfg = tr.TrainConfig(
+        num_classes=4, num_segments=2, batch_clips=2,
+        compute_dtype="float32", scale_size=36, crop_size=32,
+        partial_bn=True, lr=0.1, weight_decay=0.01,
+    )
+    state = tr.create_train_state(cfg, jax.random.PRNGKey(0),
+                                  sample_hw=(32, 32))
+    tx = tr._make_tx(cfg)
+
+    # With zero grads the only update source is weight decay: kernels decay
+    # by -lr*wd*w, everything else must be exactly zero.
+    zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+    updates, _ = tx.update(zero_grads, tx.init(state.params), state.params)
+    assert np.abs(np.asarray(updates["conv1"]["kernel"])).max() > 0
+    assert np.abs(np.asarray(updates["fc"]["kernel"])).max() > 0
+    assert np.abs(np.asarray(updates["fc"]["bias"])).max() == 0
+    assert np.abs(np.asarray(updates["bn1"]["scale"])).max() == 0
+    assert np.abs(np.asarray(updates["layer4_2"]["bn3"]["scale"])).max() == 0
+
+    # A real step: deep BN affines frozen, the stem bn1 still trains.
+    step = tr.make_train_step(cfg, donate=False)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 256, (2, 2, 40, 48, 3),
+                                      dtype=np.uint8))
+    labels = jnp.asarray(np.array([0, 1], np.int32))
+    s2, _ = step(state, frames, labels, jax.random.PRNGKey(1))
+    old_p = jax.tree.map(np.asarray, state.params)
+    new_p = jax.tree.map(np.asarray, s2.params)
+    np.testing.assert_array_equal(
+        old_p["layer4_2"]["bn3"]["scale"], new_p["layer4_2"]["bn3"]["scale"]
+    )
+    np.testing.assert_array_equal(
+        old_p["layer1_0"]["bn1"]["bias"], new_p["layer1_0"]["bn1"]["bias"]
+    )
+    assert np.abs(old_p["bn1"]["scale"] - new_p["bn1"]["scale"]).max() > 0
+
+
 def test_multichip_extract_end_to_end_with_padded_tail(
     devices8, small_params, tmp_path
 ):
