@@ -1,0 +1,78 @@
+"""C12 host-loop hardening (VERDICT r1 weak #6): mixed-resolution datasets
+through the train and test paths, and no silently-dropped tail batch.
+
+Reference capability: SURVEY.md §2a C12 (finetune + classifier test); the
+reference's DataLoader handles ragged resolutions via per-worker PIL, the
+TPU-native build buckets per resolution (static shapes per XLA program).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eov_tpu import train as tr
+from eov_tpu.data.datasets import SyntheticVideoDataset
+
+
+def _mixed_dataset():
+    a = SyntheticVideoDataset(n_classes=3, clips_per_class=3, seed=0,
+                              height=44, width=56, name="ma")
+    b = SyntheticVideoDataset(n_classes=3, clips_per_class=2, seed=1,
+                              height=56, width=44, name="mb")
+
+    class Mixed:
+        records = a.records + b.records
+        class_names = a.class_names
+
+        def get_frames(self, rec, idx):
+            return (a if rec.video_id.startswith("ma") else b).get_frames(
+                rec, idx
+            )
+
+    return Mixed()
+
+
+def _tiny_cfg(**kw):
+    base = dict(num_classes=3, num_segments=2, batch_clips=4,
+                compute_dtype="float32", scale_size=36, crop_size=32,
+                dropout=0.0)
+    base.update(kw)
+    return tr.TrainConfig(**base)
+
+
+def test_train_epoch_mixed_resolution_covers_every_clip():
+    ds = _mixed_dataset()  # 9 clips at 44x56 + 6 at 56x44 = 15
+    cfg = _tiny_cfg()
+    state = tr.create_train_state(cfg, jax.random.PRNGKey(0),
+                                  sample_hw=(32, 32))
+    step = tr.make_train_step(cfg, donate=False)
+    state2, m = tr.train_epoch_synthetic(state, step, cfg, ds, epoch=0)
+    assert m["clips"] == 15  # every record decoded — tail not dropped
+    # 15 clips across two buckets at batch 4: 9@44x56 -> 2 full + 1 tail,
+    # 6@56x44 -> 1 full + 1 tail = 5 steps (tails wrap-padded per bucket).
+    assert m["steps"] == 5
+    assert int(state2.step) == 5
+    assert np.isfinite(m["loss"])
+
+
+def test_train_epoch_uniform_resolution_tail_padded():
+    ds = SyntheticVideoDataset(n_classes=3, clips_per_class=2, seed=0,
+                               height=44, width=56)  # 6 clips
+    cfg = _tiny_cfg()  # batch 4 -> one full step + wrap-padded tail of 2
+    state = tr.create_train_state(cfg, jax.random.PRNGKey(0),
+                                  sample_hw=(32, 32))
+    step = tr.make_train_step(cfg, donate=False)
+    _, m = tr.train_epoch_synthetic(state, step, cfg, ds, epoch=0)
+    assert m["clips"] == 6 and m["steps"] == 2
+
+
+def test_evaluate_classifier_mixed_resolution():
+    ds = _mixed_dataset()
+    cfg = _tiny_cfg()
+    state = tr.create_train_state(cfg, jax.random.PRNGKey(0),
+                                  sample_hw=(32, 32))
+    m = tr.evaluate_classifier(state, cfg, ds)
+    assert m["n"] == 15
+    # Deterministic per-clip protocol: batch packing can't change the score.
+    m2 = tr.evaluate_classifier(state, cfg, ds, batch_clips=7)
+    assert m["top1"] == m2["top1"]
