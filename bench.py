@@ -75,26 +75,33 @@ def main() -> None:
         jax.profiler.start_trace(trace_dir)
 
     # Device-side scan of `window` steps in ONE program, host-read sync.
-    import functools
+    # Built per-variant by a fresh closure: the XLA fallback below must NOT
+    # reuse a jit cache entry that closes over the failed Pallas program
+    # (ADVICE r1 — a runtime Mosaic fault after a successful compile would
+    # otherwise just re-run the same failing kernel).
+    def make_runner(step_fn):
+        @jax.jit
+        def run_window(frames_u8):
+            # Each step's input must depend on the scan index, else XLA
+            # hoists the loop-invariant feature computation and "W steps"
+            # execute once (caught by the step_tflops sanity rail: >2x over
+            # hardware peak).
+            def body(acc, salt):
+                # Minimal per-step variation: poke one pixel. A whole-array
+                # op (xor) measured 2.2% of device time in the xprof trace;
+                # the single-element update still defeats hoisting.
+                x = frames_u8.at[0, 0, 0, 0, 0].set(salt)
+                return acc + jnp.sum(step_fn(x)), None
+            total, _ = jax.lax.scan(
+                body,
+                jnp.zeros((), jnp.float32),
+                jnp.arange(1, window + 1, dtype=jnp.uint8),
+            )
+            return total
 
-    @functools.partial(jax.jit, static_argnames=())
-    def run_window(frames_u8):
-        # Each step's input must depend on the scan index, else XLA hoists
-        # the loop-invariant feature computation and "W steps" execute once
-        # (caught by the step_tflops sanity rail: >2x over hardware peak).
-        def body(acc, salt):
-            # Minimal per-step variation: poke one pixel. A whole-array op
-            # (xor) measured 2.2% of device time in the xprof trace; the
-            # single-element update still defeats loop-invariant hoisting.
-            x = frames_u8.at[0, 0, 0, 0, 0].set(salt)
-            return acc + jnp.sum(fn(x)), None
-        total, _ = jax.lax.scan(
-            body,
-            jnp.zeros((), jnp.float32),
-            jnp.arange(1, window + 1, dtype=jnp.uint8),
-        )
-        return total
+        return run_window
 
+    run_window = make_runner(fn)
     try:
         float(run_window(frames))  # compile + warm (Pallas path)
     except Exception as e:  # noqa: BLE001 — bench must always print its line
@@ -106,6 +113,7 @@ def main() -> None:
             num_segments=k, scale_size=scale, crop_size=224, pallas_crop=False
         )
         fn = make_feature_fn(params, cfg)
+        run_window = make_runner(fn)  # fresh jit: no stale Pallas executable
         float(run_window(frames))
 
     win_times = []
@@ -125,22 +133,47 @@ def main() -> None:
     if trace_dir:
         jax.profiler.stop_trace()
 
+    # FLOPs rail (DESIGN.md §8 rule 3) — must never be null in the artifact
+    # of record (VERDICT r1). Sources, in order:
+    #   1. lower().cost_analysis() — free, but returns None on this jax
+    #      version (the r1 null) and on Pallas custom calls.
+    #   2. lower().compile().cost_analysis() — reliable, but an AOT compile
+    #      does NOT hit the jit cache: a second 20-40 min compile on the
+    #      tunneled dev chip, so opt-in via EOV_BENCH_HLO_FLOPS=1.
+    #   3. Analytic conv-arithmetic model (eov_tpu/utils/flops.py) —
+    #      always available; validated at 0.15% of HLO on this backbone.
+    # NB: analyze the single-step fn, not the scan program — lowered-HLO
+    # cost analysis counts a loop body ONCE regardless of trip count
+    # (measured: the scan program reported exactly 1/window of the truth).
+    step_flops, flops_source = None, None
     try:
-        step_flops = (
-            run_window.lower(frames).cost_analysis()["flops"] / window
-        )
+        ca = fn.lower(frames).cost_analysis()
+        if ca and ca.get("flops"):
+            step_flops = ca["flops"]
+            flops_source = "hlo_lowered"
     except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        pass
+    if step_flops is None and os.environ.get("EOV_BENCH_HLO_FLOPS") == "1":
         try:
-            # Pallas custom calls break HLO cost analysis; count the
-            # semantically-identical XLA program instead.
             xla_fn = make_feature_fn(
                 params,
                 ExtractConfig(num_segments=k, scale_size=scale, crop_size=224,
                               pallas_crop=False, stem_s2d=s2d),
             )
-            step_flops = xla_fn.lower(frames).cost_analysis()["flops"]
+            ca = jax.jit(xla_fn).lower(frames).compile().cost_analysis()
+            if ca and ca.get("flops"):
+                step_flops = ca["flops"]
+                flops_source = "hlo_compiled_xla_variant"
         except Exception:  # noqa: BLE001
-            step_flops = None
+            pass
+    if step_flops is None:
+        from eov_tpu.utils.flops import resnet_forward_flops
+
+        # Backbone convs only; the default input pipelines' resize is the
+        # identity (storage short side == scale_size) and crop+normalize is
+        # O(pixels) — <1% of the conv stack.
+        step_flops = batch * k * resnet_forward_flops("resnet50", (224, 224))
+        flops_source = "analytic_backbone"
 
     med = statistics.median(win_times)
     clips_per_sec = batch / med
@@ -161,12 +194,18 @@ def main() -> None:
                     "median_single_dispatch_s": (
                         round(statistics.median(fenced), 5) if fenced else None
                     ),
-                    "step_tflops": (
-                        round(step_flops / 1e12, 3) if step_flops else None
+                    "step_tflops": round(step_flops / 1e12, 3),
+                    "effective_tflops_per_s": round(
+                        step_flops / med / 1e12, 1
                     ),
-                    "effective_tflops_per_s": (
-                        round(step_flops / med / 1e12, 1) if step_flops else None
+                    # Model FLOPs utilization vs the v5e bf16 peak; the
+                    # self-verification rule of DESIGN.md §8 (mfu > 1 would
+                    # mean a broken fence or hoisted scan).
+                    "mfu_vs_197tflops": (
+                        round(step_flops / med / 197e12, 4)
+                        if platform == "tpu" else None
                     ),
+                    "flops_source": flops_source,
                     "window": window,
                     "iters": iters,
                 },

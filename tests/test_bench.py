@@ -54,3 +54,54 @@ def test_bench_decode_schema(monkeypatch, capsys):
     assert rec["metric"] == "host_clip_decode_throughput"
     paths = rec["detail"]["paths"]
     assert "python_jpeg" in paths and all(v > 0 for v in paths.values())
+
+
+def test_bench_flops_rail_never_null(monkeypatch, capsys):
+    """VERDICT r1 #3: the artifact of record must be self-verifying —
+    step_tflops / effective_tflops_per_s non-null on every backend."""
+    monkeypatch.setenv("EOV_BENCH_BATCH", "1")
+    monkeypatch.setenv("EOV_BENCH_ITERS", "1")
+    monkeypatch.setenv("EOV_BENCH_WINDOW", "1")
+    sys.path.insert(0, ".")
+    import bench
+
+    rec = _run_capturing(bench.main, capsys)
+    d = rec["detail"]
+    assert d["step_tflops"] and d["step_tflops"] > 0
+    assert d["effective_tflops_per_s"] is not None
+    assert d["flops_source"] in (
+        "hlo_lowered", "hlo_compiled_xla_variant", "analytic_backbone"
+    )
+    # Whatever the source, it must agree with the analytic model within 5%
+    # (8 segments x 8.17 GFLOP/frame for resnet50 at 224).
+    from eov_tpu.utils.flops import resnet_forward_flops
+
+    analytic = 1 * 8 * resnet_forward_flops("resnet50", (224, 224)) / 1e12
+    assert abs(d["step_tflops"] - analytic) / analytic < 0.05
+    if jax.default_backend() == "tpu":
+        assert 0 < d["mfu_vs_197tflops"] <= 1.0
+
+
+def test_analytic_flops_matches_hlo_cost_analysis():
+    """The analytic conv-arithmetic model vs XLA's own count, small shape."""
+    import jax.numpy as jnp
+
+    from eov_tpu.models import ResNet50, feature_apply
+    from eov_tpu.utils.flops import resnet_forward_flops
+
+    params = ResNet50(dtype=jnp.float32).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+    )
+    f = jax.jit(lambda x: feature_apply(params, x, dtype=jnp.float32))
+    ca = f.lower(jnp.zeros((2, 64, 64, 3))).cost_analysis()
+    if not ca or not ca.get("flops"):
+        import pytest
+
+        pytest.skip("lowered cost_analysis unavailable on this backend")
+    want = 2 * resnet_forward_flops("resnet50", (64, 64))
+    # XLA's analysis discounts padded edge windows, which are a big fraction
+    # at 64x64 (measured ~11% here; ~3% at the production 224x224, asserted
+    # at 5% by test_bench_flops_rail_never_null). The analytic model is the
+    # conservative upper bound.
+    assert ca["flops"] <= want
+    assert abs(ca["flops"] - want) / want < 0.15
