@@ -149,13 +149,21 @@ def cmd_extract(args) -> int:
     from eov_tpu.extract import extract_features
     from eov_tpu.utils.metrics import MetricsWriter
 
+    if args.multichip:
+        # Multi-controller init must precede the first backend use below
+        # (_load_params touches devices); auto-detects pod environments,
+        # no-op single-process (parallel/distributed.py).
+        from eov_tpu.parallel import distributed as dist
+
+        dist.initialize()
+
     preset = get_preset(args.preset)
     dataset = _load_dataset(args)
     params = _load_params(args, preset.extract.compute_dtype)
     store = FeatureStore(args.store, class_names=list(dataset.class_names))
     metrics = MetricsWriter(args.metrics)
 
-    cfg, feature_fn, records = preset.extract, None, None
+    cfg, feature_fn, records, mesh = preset.extract, None, None, None
     if args.arch:
         import dataclasses as _dc
 
@@ -164,12 +172,10 @@ def cmd_extract(args) -> int:
         # Config 5 (pod_extract): DP over all chips of all hosts — mesh from
         # parallel/, per-host record shard, batches padded to mesh-divisible.
         import dataclasses
-        import jax
 
         from eov_tpu.parallel import distributed as dist
         from eov_tpu.parallel.sharded import make_sharded_feature_fn
 
-        dist.initialize()
         mesh = dist.global_mesh(n_frame=preset.n_frame)
         n_data = mesh.shape["data"]
         batch = max(cfg.batch_clips, n_data)
@@ -187,7 +193,7 @@ def cmd_extract(args) -> int:
                   multichip=bool(args.multichip))
     stats = extract_features(
         dataset, params, store, cfg, metrics,
-        feature_fn=feature_fn, records=records,
+        feature_fn=feature_fn, records=records, mesh=mesh,
     )
     print(json.dumps(stats))
     return 0
@@ -196,6 +202,11 @@ def cmd_extract(args) -> int:
 def cmd_eval(args) -> int:
     _setup_platform(args)
     import dataclasses
+
+    if args.multichip:
+        from eov_tpu.parallel import distributed as dist
+
+        dist.initialize()  # before first backend use; pod auto-detect
 
     from eov_tpu.config import get_preset, resolved_dict
     from eov_tpu.data.store import FeatureStore
@@ -234,7 +245,6 @@ def cmd_eval(args) -> int:
         from eov_tpu.parallel import distributed as dist
         from eov_tpu.parallel.sharded import evaluate_sharded
 
-        dist.initialize()
         res = evaluate_sharded(table, cfg, dist.global_mesh(), virtual=virtual)
     else:
         res = evaluate(table, cfg, virtual=virtual)
@@ -297,6 +307,11 @@ def cmd_episode(args) -> int:
 
 def cmd_train(args) -> int:
     _setup_platform(args)
+    if args.multichip:
+        from eov_tpu.parallel import distributed as dist
+
+        dist.initialize()  # before first backend use; pod auto-detect
+
     import jax
 
     from eov_tpu import train as eov_train
@@ -321,7 +336,6 @@ def cmd_train(args) -> int:
     if args.multichip:
         from eov_tpu.parallel import distributed as dist
 
-        dist.initialize()
         mesh = dist.global_mesh(n_frame=1)
         n_data = mesh.shape["data"]
         if cfg.batch_clips % n_data:

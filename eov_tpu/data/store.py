@@ -4,11 +4,19 @@ Capability parity: reference component C6's cache half (SURVEY.md §2a) —
 the reference saves per-video ``.npy`` features and reloads them for eval.
 
 This store doubles as the *resumable work manifest* from SURVEY.md §5
-(failure detection / recovery): every flushed shard updates ``manifest.json``
-atomically, so a crashed or preempted pod extraction job restarts and skips
-completed clips (``done_ids``). Features land in ``.npz`` shards (one array
-per clip) rather than one file per video — millions of tiny files is the
-failure mode the reference's layout hits at Kinetics scale.
+(failure detection / recovery): every flushed shard updates the writer's
+manifest atomically, so a crashed or preempted pod extraction job restarts
+and skips completed clips (``done_ids``). Features land in ``.npz`` shards
+(one array per clip) rather than one file per video — millions of tiny
+files is the failure mode the reference's layout hits at Kinetics scale.
+
+Multi-writer semantics (SURVEY.md §2c comm row / VERDICT r1): one store
+root is shared by every host of a pod job. Each writer (jax process) owns a
+private namespace — shards named ``shard_pNNN_*.npz`` and a private
+manifest (``manifest.json`` for process 0, ``manifest.pN.json`` for the
+rest) — so concurrent hosts never write the same file. Reads merge every
+manifest in the root, so any host (or a later single-process eval job) sees
+the union of all writers' clips.
 
 `to_table` materializes the padded class-major [C, M, D] FeatureTable the
 batched eval path consumes (eval.py); padding keeps shapes static for jit.
@@ -16,10 +24,11 @@ batched eval path consumes (eval.py); padding keeps shapes static for jit.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import tempfile
-from typing import Iterable, Mapping, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -35,28 +44,50 @@ class FeatureStore:
     """Append-oriented feature cache rooted at a directory.
 
     Layout:
-        root/manifest.json            {"class_names": [...], "videos":
-                                       {vid: {"label": int, "shard": str}}}
-        root/shard_00000.npz          {vid: feature[D] float32, ...}
+        root/manifest.json            process-0 manifest {"class_names":
+                                      [...], "videos": {vid: {"label": int,
+                                      "shard": str}}}
+        root/manifest.pN.json         manifest of writer process N > 0
+        root/shard_p000_00000.npz     {vid: feature[D] float32, ...}
+
+    ``process_index`` names this writer; it defaults to
+    ``jax.process_index()`` under an initialized multi-controller runtime
+    and 0 otherwise, so single-process layouts are unchanged (r1 stores,
+    which used ``shard_00000.npz`` names recorded in the manifest, still
+    read back fine).
     """
 
-    def __init__(self, root: str, class_names: Sequence[str] | None = None):
+    def __init__(self, root: str, class_names: Sequence[str] | None = None,
+                 process_index: int | None = None):
         self.root = root
         os.makedirs(root, exist_ok=True)
-        self._manifest_path = os.path.join(root, _MANIFEST)
+        if process_index is None:
+            import jax
+
+            process_index = jax.process_index()
+        self.process_index = int(process_index)
+        self._manifest_path = os.path.join(root, self._manifest_name())
         if os.path.exists(self._manifest_path):
             with open(self._manifest_path) as f:
                 self._manifest = json.load(f)
-            if class_names is not None and list(class_names) != self._manifest.get(
-                "class_names"
-            ):
-                raise ValueError("class_names mismatch with existing store")
         else:
             self._manifest = {
                 "class_names": list(class_names) if class_names else [],
                 "videos": {},
             }
+        if class_names is not None:
+            existing = self._merged_class_names()
+            if existing and list(class_names) != existing:
+                raise ValueError("class_names mismatch with existing store")
+            self._manifest["class_names"] = list(class_names)
         self._pending: dict[str, tuple[np.ndarray, int]] = {}
+        self._shard_count = len(
+            glob.glob(os.path.join(root, f"shard_p{self.process_index:03d}_*"))
+        )
+
+    def _manifest_name(self, pi: int | None = None) -> str:
+        pi = self.process_index if pi is None else pi
+        return _MANIFEST if pi == 0 else f"manifest.p{pi}.json"
 
     # ---- write path -------------------------------------------------------
 
@@ -65,13 +96,14 @@ class FeatureStore:
         self._pending[video_id] = (np.asarray(feature, np.float32), int(label))
 
     def flush(self) -> str | None:
-        """Write pending features as a new shard + atomically update manifest."""
+        """Write pending features as a new shard + atomically update the
+        writer's own manifest (other writers' manifests are never touched)."""
         if not self._pending:
             return None
-        shard_idx = len(
-            [k for k in os.listdir(self.root) if k.startswith("shard_")]
+        shard_name = (
+            f"shard_p{self.process_index:03d}_{self._shard_count:05d}.npz"
         )
-        shard_name = f"shard_{shard_idx:05d}.npz"
+        self._shard_count += 1
         shard_path = os.path.join(self.root, shard_name)
         np.savez(shard_path, **{k: v[0] for k, v in self._pending.items()})
         for vid, (_, label) in self._pending.items():
@@ -87,29 +119,60 @@ class FeatureStore:
             json.dump(self._manifest, f)
         os.replace(tmp, self._manifest_path)
 
-    # ---- read path --------------------------------------------------------
+    # ---- read path (merged across all writers) ----------------------------
+
+    def _all_manifests(self) -> list[dict]:
+        """Every writer's manifest in the root, own (in-memory) view first."""
+        out = [self._manifest]
+        paths = [os.path.join(self.root, _MANIFEST)] + sorted(
+            glob.glob(os.path.join(self.root, "manifest.p*.json"))
+        )
+        for p in paths:
+            if os.path.basename(p) == self._manifest_name():
+                continue  # own manifest: the in-memory copy is newer
+            if os.path.exists(p):
+                with open(p) as f:
+                    out.append(json.load(f))
+        return out
+
+    def _merged_class_names(self) -> list[str]:
+        names: list[str] = []
+        for m in self._all_manifests():
+            cn = m.get("class_names") or []
+            if cn:
+                if names and cn != names:
+                    raise ValueError(
+                        f"writers disagree on class_names in {self.root}"
+                    )
+                names = cn
+        return names
+
+    def _merged_videos(self) -> dict[str, dict]:
+        videos: dict[str, dict] = {}
+        for m in self._all_manifests():
+            videos.update(m.get("videos", {}))
+        return videos
 
     @property
     def class_names(self) -> list[str]:
-        return self._manifest["class_names"]
+        return self._merged_class_names()
 
     def done_ids(self) -> set[str]:
-        """Clip ids already durably extracted (resume support, SURVEY.md §5)."""
-        return set(self._manifest["videos"].keys())
+        """Clip ids already durably extracted by ANY writer (resume support,
+        SURVEY.md §5)."""
+        return set(self._merged_videos().keys())
 
     def load_all(self) -> dict[str, tuple[np.ndarray, int]]:
-        """vid -> (feature, label) for every durable clip."""
+        """vid -> (feature, label) for every durable clip of every writer."""
+        videos = self._merged_videos()
         by_shard: dict[str, list[str]] = {}
-        for vid, meta in self._manifest["videos"].items():
+        for vid, meta in videos.items():
             by_shard.setdefault(meta["shard"], []).append(vid)
         out: dict[str, tuple[np.ndarray, int]] = {}
         for shard, vids in by_shard.items():
             with np.load(os.path.join(self.root, shard)) as z:
                 for vid in vids:
-                    out[vid] = (
-                        z[vid],
-                        int(self._manifest["videos"][vid]["label"]),
-                    )
+                    out[vid] = (z[vid], int(videos[vid]["label"]))
         return out
 
     def to_table(self, n_classes: int | None = None) -> FeatureTable:

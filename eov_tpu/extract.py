@@ -123,6 +123,7 @@ def extract_features(
     metrics: MetricsWriter | None = None,
     feature_fn: Callable | None = None,
     records: Sequence[VideoRecord] | None = None,
+    mesh=None,
 ) -> dict:
     """Run extraction over all records not yet in the store. Returns stats.
 
@@ -130,6 +131,13 @@ def extract_features(
     cheap featurizer; the multi-chip path swaps in the sharded step from
     parallel/). records restricts the work list (multi-host jobs pass this
     host's shard from parallel.distributed.process_record_shard).
+
+    mesh + an initialized multi-controller runtime (jax.process_count() > 1)
+    switches to the pod (DCN) input path: per-host decoded batches are
+    lifted into global arrays (host_batch_to_global), every host runs an
+    agreed-on global step count (global_max — unequal per-host work would
+    desync the collectives), and each host writes its own rows into its own
+    store namespace (FeatureStore is multi-writer safe by shard prefix).
     """
     metrics = metrics or MetricsWriter(None)
     feature_fn = feature_fn or make_feature_fn(params, cfg)
@@ -137,6 +145,7 @@ def extract_features(
     work = dataset.records if records is None else records
     todo = [r for r in work if r.video_id not in done]
     fault_rng = np.random.default_rng(cfg.fault_seed)
+    multi = mesh is not None and jax.process_count() > 1
 
     stats = {"total": len(work), "skipped_done": len(work) - len(todo),
              "extracted": 0, "failed": 0}
@@ -147,7 +156,14 @@ def extract_features(
     def _materialize(p):
         nonlocal since_flush
         records, feats_dev = p
-        feats = np.asarray(feats_dev)
+        if multi:
+            # Only this host's rows are addressable; they are exactly the
+            # features of this host's local input rows (row-parallel step).
+            from eov_tpu.parallel.distributed import host_local_rows
+
+            feats = host_local_rows(feats_dev)
+        else:
+            feats = np.asarray(feats_dev)
         for rec, f in zip(records, feats):
             store.put(rec.video_id, f, rec.label)
         stats["extracted"] += len(records)
@@ -183,6 +199,72 @@ def extract_features(
                 log.warning("decode failed, skipping %s: %s", rec.video_id, e)
                 metrics.write("decode_failure", video_id=rec.video_id, error=str(e))
         return oks, clips
+
+    if multi:
+        # --- pod (DCN) loop: fixed-shape global steps, host-lifted inputs.
+        from eov_tpu.parallel import distributed as dist
+
+        pc = jax.process_count()
+        if cfg.batch_clips % pc:
+            raise ValueError(
+                f"global batch_clips={cfg.batch_clips} not divisible by "
+                f"process_count={pc}"
+            )
+        lb = cfg.batch_clips // pc  # this host's rows of every global step
+        if lb == 0:
+            raise ValueError("batch_clips smaller than process_count")
+        # Hosts hold different todo counts (strided shard ±1, resume skips);
+        # all must dispatch the same number of collective programs.
+        n_steps = dist.global_max(-(-len(todo) // lb))
+        known: np.ndarray | None = None  # probe clip for dummy/pad batches
+
+        def _probe_clip():
+            rec = (todo or list(work) or list(dataset.records))[0]
+            idx = _center_indices_np(rec.num_frames, cfg.num_segments)
+            return dataset.get_frames(rec, idx)
+
+        for s in range(n_steps):
+            batch = todo[s * lb : (s + 1) * lb]
+            oks, clips = _decode_batch(batch) if batch else ([], [])
+            if clips:
+                shapes = {c.shape for c in clips}
+                if known is not None:
+                    shapes.add(known.shape)
+                if len(shapes) > 1:
+                    raise ValueError(
+                        "multi-host extraction requires resolution-"
+                        f"normalized frame storage (saw {sorted(shapes)}); "
+                        "pack with pack_eovc --short-side"
+                    )
+                known = clips[0]
+            elif known is None:
+                known = _probe_clip()
+            stacked = (
+                np.stack(clips) if clips
+                else np.zeros((0, *known.shape), np.uint8)
+            )
+            if len(clips) < lb:  # pad to the fixed local batch shape
+                pad_src = stacked[-1:] if clips else known[None]
+                stacked = np.concatenate(
+                    [stacked] + [pad_src] * (lb - len(clips))
+                )
+            frames = dist.host_batch_to_global(mesh, stacked)
+            feats_dev = feature_fn(frames)  # async dispatch
+            if cfg.deterministic:
+                feats_dev.block_until_ready()
+            if pending is not None:
+                _materialize(pending)
+            pending = (oks, feats_dev)
+            metrics.write(
+                "extract_batch", n=len(oks), failed=len(batch) - len(oks),
+                seconds=timer.lap(),
+            )
+        if pending is not None:
+            _materialize(pending)
+        store.flush()
+        dist.barrier("eov_extract_done")
+        metrics.write("extract_done", **stats)
+        return stats
 
     seen_shapes: set[tuple] = set()
     for start in range(0, len(todo), cfg.batch_clips):

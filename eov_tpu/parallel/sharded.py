@@ -52,6 +52,12 @@ def make_sharded_feature_fn(
         from eov_tpu.models.resnet import fold_batchnorm
 
         params = fold_batchnorm(params)
+    # Host (numpy) leaves: multi-controller jit treats them as replicated
+    # (every process passes the same values); committed single-device jax
+    # arrays would be rejected as non-addressable on the other hosts.
+    import numpy as np
+
+    params = jax.tree.map(np.asarray, params)
 
     def local_fn(params, frames_u8):
         x = preprocess.preprocess_eval(
@@ -135,7 +141,11 @@ def make_sharded_eval_step(
             qry_flat, sup, mask, metric=metric, fusion=fusion
         )
         labels = ep.query_labels(n_way, n_query)[None, :]
-        return jnp.mean((preds == labels).astype(jnp.float32), axis=-1)
+        local_acc = jnp.mean((preds == labels).astype(jnp.float32), axis=-1)
+        # Explicit [E] accuracy all-gather (the step's ONLY collective):
+        # a replicated output is addressable on every host, which the
+        # multi-controller caller needs to materialize the full vector.
+        return jax.lax.all_gather(local_acc, DATA_AXIS, tiled=True)
 
     n_in = 5 if embodied else 3
     if not embodied:
@@ -148,7 +158,7 @@ def make_sharded_eval_step(
         fn,
         mesh=mesh,
         in_specs=tuple(P() for _ in range(n_in)),
-        out_specs=P(DATA_AXIS),
+        out_specs=P(),
         check_vma=False,
     )
     return jax.jit(mapped)
@@ -174,16 +184,22 @@ def evaluate_sharded(table, cfg, mesh: Mesh, virtual=None):
         embodied=cfg.embodied,
     )
     key = jax.random.PRNGKey(cfg.seed)
+    # Replicated host inputs (see make_sharded_feature_fn): required under
+    # multi-controller jax, free single-process. Every host holds the full
+    # merged table (C*M*D is MBs), so eval needs no input sharding at all —
+    # only the [E] accuracy output is data-sharded.
+    features = np.asarray(table.features)
+    counts = np.asarray(table.counts)
     args = ()
     if cfg.embodied:
         if virtual is None:
             raise ValueError("embodied eval requires a virtual FeatureTable")
-        args = (virtual.features, virtual.counts)
+        args = (np.asarray(virtual.features), np.asarray(virtual.counts))
 
     accs, done, i = [], 0, 0
     while done < cfg.n_episodes:
         acc = np.asarray(
-            step(jax.random.fold_in(key, i), table.features, table.counts,
+            step(np.asarray(jax.random.fold_in(key, i)), features, counts,
                  *args)
         )
         take = min(e_step, cfg.n_episodes - done)

@@ -1,0 +1,89 @@
+"""Worker process for the 2-process DCN integration test (test_multihost.py).
+
+Runs one member of a real multi-controller jax job on CPU (gloo collectives)
+and performs a sharded pod-style extraction into a shared store root —
+exactly the cmd_extract --multichip code path, minus argparse.
+
+Usage: python multihost_worker.py PID NPROCS PORT STORE_ROOT OUT_DIR
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> int:
+    pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    store_root, out_dir = sys.argv[4], sys.argv[5]
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    from eov_tpu.parallel import distributed as dist
+
+    dist.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nprocs,
+        process_id=pid,
+    )
+    assert jax.process_count() == nprocs, jax.process_count()
+    assert len(jax.devices()) == 2 * nprocs
+
+    import jax.numpy as jnp
+
+    from eov_tpu.data.datasets import SyntheticVideoDataset
+    from eov_tpu.data.store import FeatureStore
+    from eov_tpu.extract import ExtractConfig, extract_features
+    from eov_tpu.models import ResNet50
+    from eov_tpu.parallel.sharded import make_sharded_feature_fn
+
+    # Identical on every host: same seed, same shapes.
+    ds = SyntheticVideoDataset(n_classes=4, clips_per_class=4, seed=7,
+                               height=40, width=48)
+    params = ResNet50(dtype=jnp.float32).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+    )
+
+    mesh = dist.global_mesh(n_frame=2)  # data=2 (one row per host), frame=2
+    fn = make_sharded_feature_fn(
+        params, mesh, scale_size=36, crop_size=32, compute_dtype=jnp.float32
+    )
+    cfg = ExtractConfig(
+        num_segments=4, batch_clips=4, scale_size=36, crop_size=32,
+        compute_dtype="float32", deterministic=True, pad_batches=True,
+        flush_every=3,  # force several shards per writer
+    )
+    records = dist.process_record_shard(ds.records)
+    store = FeatureStore(store_root, class_names=list(ds.class_names))
+    assert store.process_index == pid
+    stats = extract_features(
+        ds, params, store, cfg, feature_fn=fn, records=records, mesh=mesh
+    )
+
+    dist.barrier("done_extract")
+    # Every host sees the union through the merged manifests.
+    n_done = len(store.done_ids())
+
+    # Cross-process episodic eval over the merged table: the [E] accuracy
+    # all_gather rides the DCN-analog (gloo) collectives here.
+    from eov_tpu.eval import EvalConfig
+    from eov_tpu.parallel.sharded import evaluate_sharded
+
+    res = evaluate_sharded(
+        store.to_table(),
+        EvalConfig(n_way=4, n_episodes=24, episodes_per_step=8, seed=3),
+        mesh,
+    )
+
+    with open(os.path.join(out_dir, f"worker{pid}.json"), "w") as f:
+        json.dump({"stats": stats, "n_done": n_done,
+                   "local_records": len(records),
+                   "eval_mean_acc": res.mean_acc}, f)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
