@@ -59,15 +59,22 @@ def main() -> None:
     # Warmup (compile + cache); fall back to the pure-XLA preprocess path if
     # the Pallas crop kernel misbehaves on this backend.
     s2d = os.environ.get("EOV_BENCH_S2D", "0") == "1"
+    # Pallas fused bottleneck stages, e.g. EOV_BENCH_FUSED_STAGES=1 or 1,2
+    # (ops/pallas_bottleneck.py — VMEM-resident stage pipelines).
+    fused = tuple(
+        int(v) for v in os.environ.get("EOV_BENCH_FUSED_STAGES", "").split(",")
+        if v
+    )
     # The single-dispatch cross-check compiles fn standalone — a second
     # ~30-min compile on this tunneled dev chip — so it's opt-in.
     single = os.environ.get("EOV_BENCH_SINGLE", "0") == "1"
     cfg = ExtractConfig(
-        num_segments=k, scale_size=scale, crop_size=224, stem_s2d=s2d
+        num_segments=k, scale_size=scale, crop_size=224, stem_s2d=s2d,
+        fused_stages=fused,
     )
     variant = ("pallas_crop" if platform == "tpu" else "xla") + "+fold_bn" + (
         "+s2d" if s2d else ""
-    )
+    ) + (f"+fs{''.join(map(str, fused))}" if fused else "")
     fn = make_feature_fn(params, cfg)
 
     trace_dir = os.environ.get("EOV_BENCH_TRACE")

@@ -53,6 +53,10 @@ class ExtractConfig:
                                    # frames are storage-normalized (short
                                    # side == scale_size, so resize is a no-op)
     stem_s2d: bool = False         # MXU-friendly space-to-depth stem rewrite
+    fused_stages: tuple = ()       # ResNet stages (1-based) to run through
+                                   # the VMEM-resident Pallas bottleneck
+                                   # stack (ops/pallas_bottleneck.py);
+                                   # requires fold_bn, bottleneck archs
     flush_every: int = 64          # clips per durable shard
     deterministic: bool = False    # disable decode/compute overlap (tests)
     pad_batches: bool = False      # pad short tail batches to batch_clips
@@ -106,10 +110,20 @@ def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
                 crop_size=cfg.crop_size,
                 dtype=dtype,
             )  # [B, K, 224, 224, 3]
-        feats = feature_apply(
-            params, x, arch=cfg.arch, dtype=dtype, folded=folded,
-            stem_s2d=cfg.stem_s2d,
-        )  # [B, K, D]
+        if folded and cfg.fused_stages:
+            from eov_tpu.models.folded_infer import folded_feature_apply
+
+            feats = folded_feature_apply(
+                params, x, arch=cfg.arch, dtype=dtype,
+                fused_stages=tuple(cfg.fused_stages),
+                stem_s2d=cfg.stem_s2d,
+                interpret=jax.default_backend() != "tpu",
+            )  # [B, K, D]
+        else:
+            feats = feature_apply(
+                params, x, arch=cfg.arch, dtype=dtype, folded=folded,
+                stem_s2d=cfg.stem_s2d,
+            )  # [B, K, D]
         return jnp.mean(feats.astype(jnp.float32), axis=1)  # TSN consensus
 
     return feature_fn

@@ -1,0 +1,147 @@
+"""Functional folded-BN inference forward with Pallas-fused stages.
+
+Capability parity: component C4's inference path (SURVEY.md §2a/3.1). The
+flax module (models/resnet.py, folded=True) stays the semantics reference;
+this is the same forward written as a pure function over the folded param
+tree so whole stages can be swapped for the VMEM-resident Pallas bottleneck
+stack (ops/pallas_bottleneck.py) — flax's module structure can't skip its
+submodule calls, a plain function can.
+
+Fusion rule per stage: stage 1's entry block is stride-1 (the maxpool
+already downsampled), so the WHOLE stage fuses (projection shortcut
+included); stages 2-4 run their stride-2 entry block in XLA and fuse the
+stride-1 tail. Only bottleneck archs (resnet50/101/152) are supported —
+the basic-block archs keep the flax path.
+
+Parity: tests/test_pallas_bottleneck.py asserts this forward (fused and
+unfused) against the flax folded apply.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["folded_feature_apply"]
+
+
+def _conv(x, kernel, *, stride=1, pad=0, dtype=jnp.bfloat16):
+    """flax nn.Conv-equivalent NHWC conv (no bias, default precision)."""
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        kernel.astype(dtype),
+        window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _bias_relu(x, bias, dtype):
+    return jnp.maximum(x + bias.astype(dtype), 0)
+
+
+def _xla_bottleneck(x, p, *, stride, dtype):
+    """One folded bottleneck block via XLA (the strided stage entries)."""
+    y = _bias_relu(_conv(x, p["conv1"]["kernel"], dtype=dtype),
+                   p["bn1"]["bias"], dtype)
+    y = _bias_relu(
+        _conv(y, p["conv2"]["kernel"], stride=stride, pad=1, dtype=dtype),
+        p["bn2"]["bias"], dtype,
+    )
+    y = _conv(y, p["conv3"]["kernel"], dtype=dtype) + \
+        p["bn3"]["bias"].astype(dtype)
+    if "downsample_conv" in p:
+        r = _conv(x, p["downsample_conv"]["kernel"], stride=stride,
+                  dtype=dtype) + p["downsample_bn"]["bias"].astype(dtype)
+    else:
+        r = x
+    return jnp.maximum(y + r, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("arch", "dtype", "fused_stages", "stem_s2d", "interpret"),
+)
+def folded_feature_apply(
+    variables,
+    frames: jax.Array,            # [..., H, W, 3] float
+    *,
+    arch: str = "resnet50",
+    dtype: Any = jnp.bfloat16,
+    fused_stages: tuple[int, ...] = (1,),
+    stem_s2d: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """frames [..., H, W, 3] -> features [..., D]; folded variables only.
+
+    Reference-exact counterpart of
+    ``ResNet(folded=True)(...)`` (models/resnet.py), with the stages named
+    in ``fused_stages`` (1-based) running through the Pallas fused
+    bottleneck stack instead of per-conv XLA ops.
+    """
+    from eov_tpu.models import get_arch
+    from eov_tpu.ops.pallas_bottleneck import (
+        fused_bottleneck_stack, pack_bottleneck_params,
+    )
+
+    _, stage_sizes, bottleneck = get_arch(arch)
+    if not bottleneck:
+        raise ValueError("folded_feature_apply supports bottleneck archs only")
+    params = variables["params"]
+
+    lead = frames.shape[:-3]
+    x = frames.reshape((-1,) + frames.shape[-3:]).astype(dtype)
+
+    # Stem (mirrors models/resnet.py exactly, incl. the s2d rewrite).
+    if stem_s2d:
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        x = jax.lax.conv_general_dilated(
+            x, params["conv1"]["kernel"].astype(dtype), (1, 1),
+            [(2, 1), (2, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    else:
+        x = jax.lax.conv_general_dilated(
+            x, params["conv1"]["kernel"].astype(dtype), (2, 2),
+            [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    x = _bias_relu(x, params["bn1"]["bias"], dtype)
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+
+    for i, n_blocks in enumerate(stage_sizes):
+        entry_stride = 1 if i == 0 else 2
+        fuse = (i + 1) in fused_stages
+        j0 = 0
+        if fuse and entry_stride != 1:
+            # Strided entry block stays XLA; fuse the stride-1 tail.
+            x = _xla_bottleneck(
+                x, params[f"layer{i + 1}_0"], stride=2, dtype=dtype
+            )
+            j0 = 1
+        if fuse and n_blocks - j0 > 0:
+            blocks = [
+                pack_bottleneck_params(params[f"layer{i + 1}_{j}"])
+                for j in range(j0, n_blocks)
+            ]
+            n, h, w, c = x.shape
+            y = fused_bottleneck_stack(
+                x.reshape(n, h * w, c), blocks, h=h, w=w,
+                interpret=interpret,
+            )
+            x = y.reshape(n, h, w, y.shape[-1])
+        else:
+            for j in range(n_blocks):
+                x = _xla_bottleneck(
+                    x, params[f"layer{i + 1}_{j}"],
+                    stride=2 if (i > 0 and j == 0) else 1, dtype=dtype,
+                )
+
+    x = jnp.mean(x, axis=(-3, -2)).astype(jnp.float32)
+    return x.reshape(lead + (x.shape[-1],))

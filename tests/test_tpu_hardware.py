@@ -152,3 +152,42 @@ def test_fused_feature_program_pallas_vs_xla_on_hardware(tpu_backend):
     an = a / np.linalg.norm(a, axis=1, keepdims=True)
     bn = b / np.linalg.norm(b, axis=1, keepdims=True)
     assert np.sum(an * bn, axis=1).min() > 0.99999
+
+
+@requires_tpu
+def test_fused_bottleneck_stack_on_hardware(tpu_backend):
+    """The VMEM-resident bottleneck stack compiles under Mosaic and matches
+    the XLA folded blocks on hardware (small shapes; f32 for tight bounds,
+    bf16 for the production dtype)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eov_tpu.models import ResNet50
+    from eov_tpu.models.folded_infer import folded_feature_apply
+    from eov_tpu.models.resnet import feature_apply, fold_batchnorm
+
+    variables = ResNet50(dtype=jnp.float32).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 48, 48, 3))
+    )
+    folded = fold_batchnorm(variables)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 48, 48, 3)).astype(np.float32))
+
+    want32 = np.asarray(feature_apply(folded, x, dtype=jnp.float32,
+                                      folded=True))
+    got32 = np.asarray(folded_feature_apply(
+        folded, x, dtype=jnp.float32, fused_stages=(1, 2)
+    ))
+    scale = np.abs(want32).max() + 1e-9
+    assert np.abs(got32 - want32).max() / scale < 1e-3
+
+    want16 = np.asarray(feature_apply(folded, x, dtype=jnp.bfloat16,
+                                      folded=True))
+    got16 = np.asarray(folded_feature_apply(
+        folded, x, dtype=jnp.bfloat16, fused_stages=(1,)
+    ))
+    scale = np.abs(want16).max() + 1e-9
+    assert np.abs(got16 - want16).max() / scale < 1.5e-2
+    gn = got16 / np.linalg.norm(got16, axis=1, keepdims=True)
+    wn = want16 / np.linalg.norm(want16, axis=1, keepdims=True)
+    assert np.sum(gn * wn, axis=1).min() > 0.9999
