@@ -4,7 +4,8 @@ Runs one member of a real multi-controller jax job on CPU (gloo collectives)
 and performs a sharded pod-style extraction into a shared store root —
 exactly the cmd_extract --multichip code path, minus argparse.
 
-Usage: python multihost_worker.py PID NPROCS PORT STORE_ROOT OUT_DIR
+Usage: python multihost_worker.py PID NPROCS PORT STORE_ROOT OUT_DIR \
+           [N_CLASSES,CLIPS_PER_CLASS]
 """
 
 import json
@@ -15,6 +16,10 @@ import sys
 def main() -> int:
     pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     store_root, out_dir = sys.argv[4], sys.argv[5]
+    n_classes, clips_per_class = (
+        (int(v) for v in sys.argv[6].split(",")) if len(sys.argv) > 6
+        else (4, 4)
+    )
 
     import jax
 
@@ -41,7 +46,8 @@ def main() -> int:
     from eov_tpu.parallel.sharded import make_sharded_feature_fn
 
     # Identical on every host: same seed, same shapes.
-    ds = SyntheticVideoDataset(n_classes=4, clips_per_class=4, seed=7,
+    ds = SyntheticVideoDataset(n_classes=n_classes,
+                               clips_per_class=clips_per_class, seed=7,
                                height=40, width=48)
     params = ResNet50(dtype=jnp.float32).init(
         jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
@@ -74,7 +80,8 @@ def main() -> int:
 
     res = evaluate_sharded(
         store.to_table(),
-        EvalConfig(n_way=4, n_episodes=24, episodes_per_step=8, seed=3),
+        EvalConfig(n_way=min(4, n_classes), n_episodes=24,
+                   episodes_per_step=8, seed=3),
         mesh,
     )
 

@@ -170,3 +170,38 @@ def test_two_process_extraction_matches_single_process(tmp_path):
         mesh,
     )
     assert r_local.mean_acc == reports[0]["eval_mean_acc"]
+
+
+def test_two_process_unbalanced_hosts(tmp_path):
+    """15 clips over 2 hosts (8 vs 7): the short host must run a padded
+    dummy step (global_max step sync) instead of desyncing the collectives,
+    and every real clip must land in the merged store."""
+    store_root = str(tmp_path / "unbal")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    port = _free_port()
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(pid), "2", str(port),
+             store_root, out_dir, "3,5"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o[-4000:]}"
+
+    reports = []
+    for pid in range(2):
+        with open(os.path.join(out_dir, f"worker{pid}.json")) as f:
+            reports.append(json.load(f))
+    assert sorted(r["local_records"] for r in reports) == [7, 8]
+    assert sum(r["stats"]["extracted"] for r in reports) == 15
+    assert all(r["n_done"] == 15 for r in reports)
+    assert reports[0]["eval_mean_acc"] == reports[1]["eval_mean_acc"]
+    data = FeatureStore(store_root, process_index=0).load_all()
+    assert len(data) == 15
