@@ -59,12 +59,16 @@ def main() -> None:
     # Warmup (compile + cache); fall back to the pure-XLA preprocess path if
     # the Pallas crop kernel misbehaves on this backend.
     s2d = os.environ.get("EOV_BENCH_S2D", "0") == "1"
-    # Pallas fused bottleneck stages, e.g. EOV_BENCH_FUSED_STAGES=1 or 1,2
-    # (ops/pallas_bottleneck.py — VMEM-resident stage pipelines).
-    fused = tuple(
-        int(v) for v in os.environ.get("EOV_BENCH_FUSED_STAGES", "").split(",")
-        if v
-    )
+    # Pallas fused bottleneck stages, e.g. EOV_BENCH_FUSED_STAGES=1 or 1,2;
+    # "none" disables; unset = the ExtractConfig "auto" default ((1,) on
+    # TPU — the measured optimum, BASELINE.md r2).
+    fused_env = os.environ.get("EOV_BENCH_FUSED_STAGES")
+    if fused_env is None:
+        fused = "auto"
+    else:
+        fused = tuple(
+            int(v) for v in fused_env.replace("none", "").split(",") if v
+        )
     # The single-dispatch cross-check compiles fn standalone — a second
     # ~30-min compile on this tunneled dev chip — so it's opt-in.
     single = os.environ.get("EOV_BENCH_SINGLE", "0") == "1"
@@ -72,9 +76,12 @@ def main() -> None:
         num_segments=k, scale_size=scale, crop_size=224, stem_s2d=s2d,
         fused_stages=fused,
     )
+    from eov_tpu.extract import resolve_fused_stages
+
+    fused_resolved = resolve_fused_stages(fused, folded=True, arch="resnet50")
     variant = ("pallas_crop" if platform == "tpu" else "xla") + "+fold_bn" + (
         "+s2d" if s2d else ""
-    ) + (f"+fs{''.join(map(str, fused))}" if fused else "")
+    ) + (f"+fs{''.join(map(str, fused_resolved))}" if fused_resolved else "")
     fn = make_feature_fn(params, cfg)
 
     trace_dir = os.environ.get("EOV_BENCH_TRACE")
@@ -117,7 +124,8 @@ def main() -> None:
         print(f"pallas path failed, XLA fallback: {e}", file=sys.stderr)
         variant = "xla+fold_bn"
         cfg = ExtractConfig(
-            num_segments=k, scale_size=scale, crop_size=224, pallas_crop=False
+            num_segments=k, scale_size=scale, crop_size=224,
+            pallas_crop=False, fused_stages=(),
         )
         fn = make_feature_fn(params, cfg)
         run_window = make_runner(fn)  # fresh jit: no stale Pallas executable
@@ -165,7 +173,8 @@ def main() -> None:
             xla_fn = make_feature_fn(
                 params,
                 ExtractConfig(num_segments=k, scale_size=scale, crop_size=224,
-                              pallas_crop=False, stem_s2d=s2d),
+                              pallas_crop=False, stem_s2d=s2d,
+                              fused_stages=()),
             )
             ca = jax.jit(xla_fn).lower(frames).compile().cost_analysis()
             if ca and ca.get("flops"):

@@ -53,10 +53,14 @@ class ExtractConfig:
                                    # frames are storage-normalized (short
                                    # side == scale_size, so resize is a no-op)
     stem_s2d: bool = False         # MXU-friendly space-to-depth stem rewrite
-    fused_stages: tuple = ()       # ResNet stages (1-based) to run through
+    fused_stages: tuple | str = "auto"
+                                   # ResNet stages (1-based) to run through
                                    # the VMEM-resident Pallas bottleneck
                                    # stack (ops/pallas_bottleneck.py);
-                                   # requires fold_bn, bottleneck archs
+                                   # requires fold_bn, bottleneck archs.
+                                   # "auto" = (1,) on TPU, () elsewhere —
+                                   # the measured optimum (BASELINE.md r2:
+                                   # stage 1 +2.3%, stages 1+2 negative).
     flush_every: int = 64          # clips per durable shard
     deterministic: bool = False    # disable decode/compute overlap (tests)
     pad_batches: bool = False      # pad short tail batches to batch_clips
@@ -64,6 +68,26 @@ class ExtractConfig:
                                    # padded rows are dropped on materialize)
     fault_inject: float = 0.0      # P(decode failure) for failure-path tests
     fault_seed: int = 0
+
+
+def resolve_fused_stages(
+    fused_stages: tuple | str, *, folded: bool, arch: str
+) -> tuple:
+    """Resolve ExtractConfig.fused_stages to a concrete stage tuple.
+
+    "auto" picks the measured single-chip optimum — stage 1 fused on TPU
+    (BASELINE.md r2: +2.3%; stages 1+2 measured negative), nothing on other
+    backends (the interpret-mode kernel is a parity tool, not a fast path).
+    Explicit tuples are always honored (interpret mode off-TPU). Fusion
+    needs folded BN and a bottleneck arch; otherwise resolves empty.
+    """
+    from eov_tpu.models import get_arch
+
+    if not folded or not get_arch(arch)[2]:
+        return ()
+    if fused_stages == "auto":
+        return (1,) if jax.default_backend() == "tpu" else ()
+    return tuple(fused_stages or ())
 
 
 def _center_indices_np(num_frames: int, k: int) -> np.ndarray:
@@ -92,6 +116,9 @@ def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
         params = space_to_depth_stem(params)
 
     use_pallas = cfg.pallas_crop and jax.default_backend() == "tpu"
+    fused_stages = resolve_fused_stages(
+        cfg.fused_stages, folded=folded, arch=cfg.arch
+    )
 
     @jax.jit
     def feature_fn(frames_u8: jax.Array) -> jax.Array:
@@ -110,12 +137,12 @@ def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
                 crop_size=cfg.crop_size,
                 dtype=dtype,
             )  # [B, K, 224, 224, 3]
-        if folded and cfg.fused_stages:
+        if folded and fused_stages:
             from eov_tpu.models.folded_infer import folded_feature_apply
 
             feats = folded_feature_apply(
                 params, x, arch=cfg.arch, dtype=dtype,
-                fused_stages=tuple(cfg.fused_stages),
+                fused_stages=fused_stages,
                 stem_s2d=cfg.stem_s2d,
                 interpret=jax.default_backend() != "tpu",
             )  # [B, K, D]

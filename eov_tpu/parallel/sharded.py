@@ -37,6 +37,7 @@ def make_sharded_feature_fn(
     compute_dtype=jnp.bfloat16,
     fold_bn: bool = True,
     arch: str = "resnet50",
+    fused_stages: tuple | str = "auto",
 ) -> Callable:
     """Sharded clip featurizer: frames [B, K, H, W, 3] u8 -> features [B, D].
 
@@ -44,14 +45,20 @@ def make_sharded_feature_fn(
     runs the backbone on its local [B/dp, K/fp] frame block, mean-pools its
     local segments, then one psum over 'frame' completes the TSN consensus
     (SURVEY.md §2c SP row: frame-axis sharding = one collective).
-    Params are replicated (25M params ≪ HBM; §2c TP row).
+    Params are replicated (25M params ≪ HBM; §2c TP row). ``fused_stages``
+    follows extract.resolve_fused_stages: per-device blocks run the Pallas
+    fused bottleneck stack for those stages (the kernel is pure local
+    compute, so it composes with shard_map unchanged).
     """
+    from eov_tpu.extract import resolve_fused_stages
 
     folded = fold_bn and "batch_stats" in params
     if folded:
         from eov_tpu.models.resnet import fold_batchnorm
 
         params = fold_batchnorm(params)
+    fused = resolve_fused_stages(fused_stages, folded=folded, arch=arch)
+    interpret = jax.default_backend() != "tpu"
     # Host (numpy) leaves: multi-controller jit treats them as replicated
     # (every process passes the same values); committed single-device jax
     # arrays would be rejected as non-addressable on the other hosts.
@@ -64,9 +71,17 @@ def make_sharded_feature_fn(
             frames_u8, scale_size=scale_size, crop_size=crop_size,
             dtype=compute_dtype,
         )
-        feats = feature_apply(
-            params, x, arch=arch, dtype=compute_dtype, folded=folded
-        )
+        if fused:
+            from eov_tpu.models.folded_infer import folded_feature_apply
+
+            feats = folded_feature_apply(
+                params, x, arch=arch, dtype=compute_dtype,
+                fused_stages=fused, interpret=interpret,
+            )
+        else:
+            feats = feature_apply(
+                params, x, arch=arch, dtype=compute_dtype, folded=folded
+            )
         # Local segment sum; global mean via frame-axis psum.
         local_sum = jnp.sum(feats.astype(jnp.float32), axis=1)
         total = jax.lax.psum(local_sum, FRAME_AXIS)

@@ -61,6 +61,40 @@ def test_sharded_features_match_single_device(devices8, small_params):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_features_fused_stages_match_default(devices8, small_params):
+    # The pod extract path with the Pallas fused bottleneck stack (stage 1,
+    # interpret mode on this CPU mesh) must equal the unfused sharded
+    # program — the kernel is pure per-device compute under shard_map.
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 256, (8, 4, 40, 48, 3), dtype=np.uint8)
+    mesh = make_mesh(4, 2, devices=devices8)
+    kw = dict(scale_size=36, crop_size=32, compute_dtype=jnp.float32)
+    want = np.asarray(
+        sharded.make_sharded_feature_fn(small_params, mesh, **kw)(
+            jnp.asarray(frames)
+        )
+    )
+    got = np.asarray(
+        sharded.make_sharded_feature_fn(
+            small_params, mesh, fused_stages=(1,), **kw
+        )(jnp.asarray(frames))
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_resolve_fused_stages_auto_semantics():
+    from eov_tpu.extract import resolve_fused_stages
+
+    # "auto" engages only on TPU backends (this suite runs on CPU).
+    assert resolve_fused_stages("auto", folded=True, arch="resnet50") == ()
+    # Explicit requests are honored everywhere (interpret mode off-TPU)...
+    assert resolve_fused_stages((1, 2), folded=True, arch="resnet50") == (1, 2)
+    # ...but fusion needs folded BN and a bottleneck arch.
+    assert resolve_fused_stages((1,), folded=False, arch="resnet50") == ()
+    assert resolve_fused_stages((1,), folded=True, arch="resnet18") == ()
+    assert resolve_fused_stages((), folded=True, arch="resnet50") == ()
+
+
 def test_sharded_eval_step_runs_and_is_deterministic(devices8):
     rng = np.random.default_rng(1)
     feats = jnp.asarray(rng.standard_normal((10, 6, 64)).astype(np.float32))
