@@ -72,13 +72,29 @@ def main() -> None:
         float(loss)  # host read = true device sync
         win_times.append((time.perf_counter() - t0) / window)
 
+    # FLOPs rail. NB lowered-HLO cost analysis counts a scan body ONCE
+    # regardless of trip count (measured — see bench.py), so analyze the
+    # single train step, not the window program (the r1 report/window
+    # variant understated by window x). The HLO number still OVERcounts
+    # real work: it sums every branch of the 10-way multiscale-crop
+    # lax.switch (only one executes) and the remat recompute, so the
+    # model-FLOPs convention (3x forward) is reported alongside as the
+    # MFU-comparable figure.
+    step_flops, flops_source = None, None
     try:
-        step_flops = (
-            run_window.lower(state, jax.random.PRNGKey(0), frames, labels)
-            .cost_analysis()["flops"] / window
-        )
+        ca = step.lower(
+            state, frames, labels, jax.random.PRNGKey(0)
+        ).cost_analysis()
+        if ca and ca.get("flops"):
+            step_flops = ca["flops"]
+            flops_source = "hlo_single_step_all_branches"
     except Exception:  # noqa: BLE001
-        step_flops = None
+        pass
+    from eov_tpu.utils.flops import resnet_forward_flops
+
+    model_flops = 3 * batch * k * resnet_forward_flops(
+        "resnet50", (crop, crop)
+    )
 
     med = statistics.median(win_times)
     print(json.dumps({
@@ -89,10 +105,15 @@ def main() -> None:
         "detail": {"platform": platform, "batch_clips": batch,
                    "num_segments": k, "frame_hw": list(hw),
                    "median_step_s": round(med, 5),
-                   "step_tflops": (round(step_flops / 1e12, 3)
-                                   if step_flops else None),
-                   "effective_tflops_per_s": (round(step_flops / med / 1e12, 1)
-                                              if step_flops else None),
+                   "step_tflops_hlo": (round(step_flops / 1e12, 3)
+                                       if step_flops else None),
+                   "step_tflops_model": round(model_flops / 1e12, 3),
+                   "model_tflops_per_s": round(model_flops / med / 1e12, 1),
+                   "mfu_vs_197tflops": (
+                       round(model_flops / med / 197e12, 4)
+                       if platform == "tpu" else None
+                   ),
+                   "flops_source": flops_source,
                    "window": window},
     }))
 

@@ -44,6 +44,26 @@ def test_bench_eval_schema(monkeypatch, capsys):
     assert rec["value"] > 0
 
 
+def test_bench_train_schema_and_flops_rail(monkeypatch, capsys):
+    """The train bench's FLOPs rail: HLO per-step count (analyzed on the
+    single step — a scan body is counted ONCE by cost_analysis, so the r1
+    report/window variant understated by window x) plus the 3x-forward
+    model-FLOPs convention, both non-null."""
+    sys.path.insert(0, ".")
+    import bench_train
+
+    rec = _run_capturing(bench_train.main, capsys)
+    assert rec["metric"] == "tsn_finetune_step_throughput"
+    assert rec["value"] > 0
+    d = rec["detail"]
+    assert d["step_tflops_model"] > 0
+    assert d["model_tflops_per_s"] >= 0
+    if d["step_tflops_hlo"] is not None:
+        # HLO counts every lax.switch branch + remat recompute, so it can
+        # only be >= the single-executed-path model count.
+        assert d["step_tflops_hlo"] >= 0.5 * d["step_tflops_model"]
+
+
 def test_bench_decode_schema(monkeypatch, capsys):
     monkeypatch.setenv("EOV_DECODE_CLIPS", "4")
     monkeypatch.setenv("EOV_DECODE_K", "3")
