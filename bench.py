@@ -72,16 +72,25 @@ def main() -> None:
     # The single-dispatch cross-check compiles fn standalone — a second
     # ~30-min compile on this tunneled dev chip — so it's opt-in.
     single = os.environ.get("EOV_BENCH_SINGLE", "0") == "1"
+    # EOV_BENCH_PALLAS_CROP=0: XLA cast+affine preprocess instead of the
+    # Pallas crop kernel (at crop-resolution storage the kernel's [H, W*3]
+    # lane packing costs a relayout reshape the XLA chain avoids).
+    pcrop = os.environ.get("EOV_BENCH_PALLAS_CROP", "1") == "1"
+    # Images per fused-kernel grid step (op-interleaved chains; measured
+    # optimum 2, BASELINE.md r2).
+    fgroup = int(os.environ.get("EOV_BENCH_FUSED_GROUP", "2"))
     cfg = ExtractConfig(
         num_segments=k, scale_size=scale, crop_size=224, stem_s2d=s2d,
-        fused_stages=fused,
+        fused_stages=fused, pallas_crop=pcrop, fused_group=fgroup,
     )
     from eov_tpu.extract import resolve_fused_stages
 
     fused_resolved = resolve_fused_stages(fused, folded=True, arch="resnet50")
-    variant = ("pallas_crop" if platform == "tpu" else "xla") + "+fold_bn" + (
+    variant = ("pallas_crop" if platform == "tpu" and pcrop else "xla") + "+fold_bn" + (
         "+s2d" if s2d else ""
-    ) + (f"+fs{''.join(map(str, fused_resolved))}" if fused_resolved else "")
+    ) + (f"+fs{''.join(map(str, fused_resolved))}" if fused_resolved else "") + (
+        f"+g{fgroup}" if fgroup > 1 else ""
+    )
     fn = make_feature_fn(params, cfg)
 
     trace_dir = os.environ.get("EOV_BENCH_TRACE")

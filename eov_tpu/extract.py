@@ -61,6 +61,11 @@ class ExtractConfig:
                                    # "auto" = (1,) on TPU, () elsewhere —
                                    # the measured optimum (BASELINE.md r2:
                                    # stage 1 +2.3%, stages 1+2 negative).
+    fused_group: int = 2           # images per fused-kernel grid step
+                                   # (op-interleaved independent chains;
+                                   # measured optimum 2 — BASELINE.md r2:
+                                   # 1452 vs 1438 at g=1, 1412 at g=4;
+                                   # non-divisible batches degrade to 1)
     flush_every: int = 64          # clips per durable shard
     deterministic: bool = False    # disable decode/compute overlap (tests)
     pad_batches: bool = False      # pad short tail batches to batch_clips
@@ -143,6 +148,7 @@ def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
             feats = folded_feature_apply(
                 params, x, arch=cfg.arch, dtype=dtype,
                 fused_stages=fused_stages,
+                fused_group=cfg.fused_group,
                 stem_s2d=cfg.stem_s2d,
                 interpret=jax.default_backend() != "tpu",
             )  # [B, K, D]

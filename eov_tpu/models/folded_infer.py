@@ -63,7 +63,9 @@ def _xla_bottleneck(x, p, *, stride, dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("arch", "dtype", "fused_stages", "stem_s2d", "interpret"),
+    static_argnames=(
+        "arch", "dtype", "fused_stages", "fused_group", "stem_s2d", "interpret"
+    ),
 )
 def folded_feature_apply(
     variables,
@@ -72,6 +74,7 @@ def folded_feature_apply(
     arch: str = "resnet50",
     dtype: Any = jnp.bfloat16,
     fused_stages: tuple[int, ...] = (1,),
+    fused_group: int = 1,
     stem_s2d: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
@@ -110,11 +113,16 @@ def folded_feature_apply(
             [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
     x = _bias_relu(x, params["bn1"]["bias"], dtype)
+    # reduce_window runs ~2.5x over its HBM roofline here (6.9% of the step,
+    # DESIGN.md §9 r2) but the strided-slice max decomposition in ops/pool.py
+    # measured FAR worse on v5e (888 vs 1438 clips/s — stride-2 slices on
+    # tiled dims relayout-copy; BASELINE.md r2). Keep reduce_window.
     x = jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         [(0, 0), (1, 1), (1, 1), (0, 0)],
     )
 
+    p0 = None  # pixels of the first (largest) fused stage
     for i, n_blocks in enumerate(stage_sizes):
         entry_stride = 1 if i == 0 else 2
         fuse = (i + 1) in fused_stages
@@ -131,9 +139,16 @@ def folded_feature_apply(
                 for j in range(j0, n_blocks)
             ]
             n, h, w, c = x.shape
+            # Row-normalized grouping: later (smaller-map) stages take
+            # proportionally more images per grid step so every grid step
+            # keeps ~the same matmul row count — the single-image stage-2
+            # fusion's 784-row matmuls were the r2 negative result.
+            if p0 is None:
+                p0 = h * w
+            g = max(1, fused_group * (p0 // (h * w)))
             y = fused_bottleneck_stack(
                 x.reshape(n, h * w, c), blocks, h=h, w=w,
-                interpret=interpret,
+                group=g, interpret=interpret,
             )
             x = y.reshape(n, h, w, y.shape[-1])
         else:

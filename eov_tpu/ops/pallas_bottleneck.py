@@ -4,15 +4,25 @@ The r1 roofline (DESIGN.md §9) put ~25% of extraction device time in the
 stage-1/2 1x1 convs at ~17 TFLOP/s — HBM-bound: XLA round-trips every
 56x56 activation map to HBM between convs. This kernel runs a whole stack
 of stride-1 bottleneck blocks (conv1 1x1 -> conv2 3x3 -> conv3 1x1 +
-residual, folded-BN biases, ReLUs) for ONE image per grid step entirely in
-VMEM: the map enters HBM once ([H*W, Cin]) and leaves once ([H*W, Cout]).
-At ResNet-50 stage 1 that replaces ~20 MB of per-image HBM traffic with
-~2 MB, turning a bandwidth-bound stage into a compute-bound one.
+residual, folded-BN biases, ReLUs) for a small GROUP of images per grid
+step entirely in VMEM: each map enters HBM once ([H*W, Cin]) and leaves
+once ([H*W, Cout]). At ResNet-50 stage 1 that replaces ~20 MB of per-image
+HBM traffic with ~2 MB, turning a bandwidth-bound stage into a
+compute-bound one.
+
+Why a group (r2 follow-up): with one image per grid step the kernel body
+is a single serial dependency chain, so its VPU work (bias+ReLU+cast,
+edge masks, scratch stores — ~1/3 of kernel time at stage-1 shapes)
+serializes against the MXU matmuls. Interleaving ``group`` independent
+images op-by-op in one body gives Mosaic's static scheduler co-resident
+independent chains, letting VPU work of one image hide under another's
+matmuls (and amortizing weight loads). Per-image math is bit-identical
+for every group size.
 
 Design notes (TPU/Mosaic-safe by construction):
-* Everything is 2-D [rows, channels] — channels on the 128-lane axis,
-  pixels on sublanes. No in-kernel reshapes of tiled dims: the caller
-  passes activations flattened to [N, H*W, C].
+* Everything is 2-D [rows, channels] per image — channels on the 128-lane
+  axis, pixels on sublanes. No in-kernel reshapes of tiled dims: the
+  caller passes activations flattened to [N, H*W, C].
 * The 3x3 conv is 9 shifted matmuls over a flat zero-padded scratch
   buffer: neighbor (dy, dx) of flat pixel k lives at k + dy*W + dx, so
   each tap is a static row-slice; horizontal wrap-around at row edges is
@@ -23,7 +33,7 @@ Design notes (TPU/Mosaic-safe by construction):
   the XLA path's conv-output rounding to within bf16 epsilon.
 * Weights (tiny: all of stage 1 is ~0.4 MB bf16) sit whole in VMEM with
   constant index maps, so Mosaic keeps them resident across grid steps and
-  double-buffers only the per-image input/output blocks.
+  double-buffers only the per-group input/output blocks.
 
 Capability parity: component C4's hot loop (SURVEY.md §3.1); semantics
 reference is the folded-BN flax/XLA forward (models/resnet.py), parity-
@@ -68,16 +78,21 @@ def pack_bottleneck_params(block_tree: Mapping[str, Any]) -> dict:
     return out
 
 
-def _stack_kernel(*refs, n_blocks, has_proj, h, w, dtype):
-    """One image through the whole block stack. refs layout:
-    x_ref, (per block: w1,b1,w2,b2,w3,b3[,wd,bd]), out_ref, pad_ref."""
+def _stack_kernel(*refs, n_blocks, has_proj, h, w, dtype, group):
+    """One image group through the whole block stack, op-interleaved.
+
+    refs layout: x_ref [G, P, Cin], (per block: w1,b1,w2,b2,w3,b3[,wd,bd]),
+    out_ref [G, P, Cout], pad_ref [G, B, Cmid]. All per-image chains are
+    data-independent; interleaving them op-by-op exposes VPU/MXU overlap
+    to the scheduler without changing any per-image arithmetic.
+    """
     x_ref = refs[0]
     out_ref = refs[-2]
     pad_ref = refs[-1]
     p = h * w
     s = w + 1  # write offset inside the padded flat buffer (see module doc)
 
-    # Zero the pad buffer once; block centers are fully overwritten below,
+    # Zero the pad buffers once; block centers are fully overwritten below,
     # the border rows/cells stay zero for every block.
     pad_ref[:] = jnp.zeros(pad_ref.shape, pad_ref.dtype)
 
@@ -92,7 +107,7 @@ def _stack_kernel(*refs, n_blocks, has_proj, h, w, dtype):
             preferred_element_type=jnp.float32,
         )
 
-    x = x_ref[0]  # [P, Cin] compute-dtype
+    xs = [x_ref[g] for g in range(group)]  # [P, Cin] compute-dtype each
     ri = 1
     for bi in range(n_blocks):
         proj = has_proj[bi]
@@ -102,33 +117,46 @@ def _stack_kernel(*refs, n_blocks, has_proj, h, w, dtype):
             wd, bd = refs[ri][...], refs[ri + 1][...]
             ri += 2
 
-        # conv1 1x1 + bias + relu -> padded scratch center.
-        y1 = jnp.maximum(matmul(x, w1) + b1, 0.0).astype(dtype)
-        pad_ref[s : s + p] = y1
+        # conv1 1x1 + bias + relu -> padded scratch centers.
+        y1s = [
+            jnp.maximum(matmul(xs[g], w1) + b1, 0.0).astype(dtype)
+            for g in range(group)
+        ]
+        for g in range(group):
+            pad_ref[g, s : s + p] = y1s[g]
 
-        # conv2 3x3 as 9 shifted matmuls (dy = ky-1, dx = kx-1).
-        acc = jnp.zeros((p, w2.shape[-1]), jnp.float32)
+        # conv2 3x3 as 9 shifted matmuls (dy = ky-1, dx = kx-1), each tap
+        # issued for every image before the next tap (independent chains).
+        accs = [jnp.zeros((p, w2.shape[-1]), jnp.float32)] * group
         for ky in range(3):
             for kx in range(3):
                 off = s + (ky - 1) * w + (kx - 1)
-                tap = pad_ref[off : off + p]
-                if kx == 0:
-                    tap = tap * mask_l
-                elif kx == 2:
-                    tap = tap * mask_r
-                acc = acc + matmul(tap, w2[ky * 3 + kx])
-        y2 = jnp.maximum(acc + b2, 0.0).astype(dtype)
+                for g in range(group):
+                    tap = pad_ref[g, off : off + p]
+                    if kx == 0:
+                        tap = tap * mask_l
+                    elif kx == 2:
+                        tap = tap * mask_r
+                    accs[g] = accs[g] + matmul(tap, w2[ky * 3 + kx])
+        y2s = [
+            jnp.maximum(accs[g] + b2, 0.0).astype(dtype) for g in range(group)
+        ]
 
         # conv3 1x1 + residual (projected on the stage-entry block) + relu.
-        y3 = matmul(y2, w3) + b3
-        res = (matmul(x, wd) + bd) if proj else x.astype(jnp.float32)
-        x = jnp.maximum(y3 + res, 0.0).astype(dtype)
+        for g in range(group):
+            y3 = matmul(y2s[g], w3) + b3
+            res = (
+                (matmul(xs[g], wd) + bd) if proj
+                else xs[g].astype(jnp.float32)
+            )
+            xs[g] = jnp.maximum(y3 + res, 0.0).astype(dtype)
 
-    out_ref[0] = x
+    for g in range(group):
+        out_ref[g] = xs[g]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "interpret")
+    jax.jit, static_argnames=("h", "w", "group", "interpret")
 )
 def fused_bottleneck_stack(
     x: jax.Array,                      # [N, H*W, Cin] compute-dtype
@@ -136,17 +164,21 @@ def fused_bottleneck_stack(
     *,
     h: int,
     w: int,
+    group: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
-    """Run a stride-1 bottleneck stack fully VMEM-resident per image.
+    """Run a stride-1 bottleneck stack fully VMEM-resident per image group.
 
     Returns [N, H*W, Cout]. Block 0 may carry a projection shortcut
     (wd/bd); all spatial strides must be 1 (true for every non-entry
-    ResNet block, and for all of stage 1).
+    ResNet block, and for all of stage 1). ``group`` images are processed
+    per grid step with their (identical, independent) op chains
+    interleaved; when N isn't divisible the group degrades to 1.
     """
     n, p, cin = x.shape
     if p != h * w:
         raise ValueError(f"x rows {p} != h*w {h * w}")
+    g = group if group > 0 and n % group == 0 else 1
     dtype = x.dtype
     cmid = blocks[0]["w2"].shape[-1]
     cout = blocks[-1]["w3"].shape[-1]
@@ -155,7 +187,7 @@ def fused_bottleneck_stack(
         raise ValueError("first block needs a projection when Cin != Cout")
 
     flat_params, in_specs = [], [
-        pl.BlockSpec((1, p, cin), lambda i: (i, 0, 0),
+        pl.BlockSpec((g, p, cin), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM)
     ]
     for b in blocks:
@@ -177,7 +209,7 @@ def fused_bottleneck_stack(
 
     kernel = functools.partial(
         _stack_kernel, n_blocks=len(blocks), has_proj=has_proj,
-        h=h, w=w, dtype=dtype,
+        h=h, w=w, dtype=dtype, group=g,
     )
     flops_per_img = 0
     for b in blocks:
@@ -190,13 +222,21 @@ def fused_bottleneck_stack(
 
     return pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n // g,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, p, cout), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, p, cout), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, p, cout), dtype),
         # + 8 rows of slack: the (+1, +1) tap's slice ends at p + 2w + 2.
-        scratch_shapes=[pltpu.VMEM(((h + 2) * w + 8, cmid), dtype)],
+        scratch_shapes=[pltpu.VMEM((g, (h + 2) * w + 8, cmid), dtype)],
+        # Grouped mode co-lives g images' f32 intermediates plus the
+        # double-buffered in/out blocks — past Mosaic's 16 MB default
+        # scoped-VMEM limit at stage-1 shapes (measured 27.4 MB at g=2).
+        # v5e VMEM is 128 MiB; raise the cap only when grouping.
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if g > 1 else None
+        ),
         cost_estimate=pl.CostEstimate(
             flops=n * flops_per_img,
             bytes_accessed=bytes_io,

@@ -38,6 +38,7 @@ def make_sharded_feature_fn(
     fold_bn: bool = True,
     arch: str = "resnet50",
     fused_stages: tuple | str = "auto",
+    fused_group: int = 2,
 ) -> Callable:
     """Sharded clip featurizer: frames [B, K, H, W, 3] u8 -> features [B, D].
 
@@ -76,7 +77,8 @@ def make_sharded_feature_fn(
 
             feats = folded_feature_apply(
                 params, x, arch=arch, dtype=compute_dtype,
-                fused_stages=fused, interpret=interpret,
+                fused_stages=fused, fused_group=fused_group,
+                interpret=interpret,
             )
         else:
             feats = feature_apply(

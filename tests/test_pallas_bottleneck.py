@@ -135,3 +135,45 @@ def test_fused_bf16_close_to_xla_bf16(folded50):
     gn = got / np.linalg.norm(got, axis=1, keepdims=True)
     wn = want / np.linalg.norm(want, axis=1, keepdims=True)
     assert np.sum(gn * wn, axis=1).min() > 0.9999
+
+
+@pytest.mark.parametrize("group", [2, 4])
+def test_grouped_kernel_bit_identical_to_group1(group):
+    """group > 1 interleaves independent per-image chains — the math per
+    image is unchanged, so results must be bit-identical to group=1 (and
+    to the XLA reference within tolerance)."""
+    rng = np.random.default_rng(5)
+    n, h, w, cin, cmid, cout = 4, 6, 10, 24, 16, 32
+    blocks = _mk_blocks(rng, cin, cmid, cout, 2)
+    x = jnp.asarray(rng.standard_normal((n, h, w, cin)).astype(np.float32))
+    flat = x.reshape(n, h * w, cin)
+    base = np.asarray(
+        fused_bottleneck_stack(flat, blocks, h=h, w=w, interpret=True)
+    )
+    got = np.asarray(
+        fused_bottleneck_stack(
+            flat, blocks, h=h, w=w, group=group, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, base)
+    want = np.asarray(_ref_stack(x, blocks))
+    np.testing.assert_allclose(
+        got.reshape(n, h, w, cout), want, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_grouped_kernel_non_divisible_degrades():
+    """N not divisible by group falls back to group=1 (same results)."""
+    rng = np.random.default_rng(6)
+    n, h, w, cin, cmid, cout = 3, 5, 7, 16, 8, 16
+    blocks = _mk_blocks(rng, cin, cmid, cout, 1)
+    x = jnp.asarray(
+        rng.standard_normal((n, h * w, cin)).astype(np.float32)
+    )
+    base = np.asarray(
+        fused_bottleneck_stack(x, blocks, h=h, w=w, interpret=True)
+    )
+    got = np.asarray(
+        fused_bottleneck_stack(x, blocks, h=h, w=w, group=2, interpret=True)
+    )
+    np.testing.assert_array_equal(got, base)

@@ -197,3 +197,29 @@ def test_multiscale_crop_distorted_branches_execute():
         assert np.isfinite(np.asarray(out)).all()
         shapes.add(out.shape)
     assert shapes == {(2, 64, 64, 3)}
+
+
+def test_maxpool_decomposition_matches_reduce_window():
+    """ops/pool.py strided-slice max == reduce_window(max) on inputs >= 0."""
+    import jax.lax as lax
+
+    from eov_tpu.ops.pool import maxpool_3x3_s2_nonneg
+
+    rng = np.random.default_rng(7)
+    for shape, dtype in [
+        ((2, 112, 112, 8), np.float32),
+        ((1, 13, 17, 4), np.float32),
+        ((3, 8, 8, 3), np.float32),
+        ((2, 56, 56, 16), jnp.bfloat16),
+    ]:
+        x = jnp.asarray(rng.random(shape, np.float32)).astype(dtype)  # >= 0
+        ref = lax.reduce_window(
+            x, -jnp.inf, lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            [(0, 0), (1, 1), (1, 1), (0, 0)],
+        )
+        got = maxpool_3x3_s2_nonneg(x)
+        assert got.shape == ref.shape, (got.shape, ref.shape)
+        assert got.dtype == ref.dtype
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32)
+        )
