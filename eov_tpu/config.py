@@ -77,6 +77,14 @@ PRESETS: dict[str, Preset] = {
             n_frame=1,
         ),
         Preset(
+            name="kinetics_5shot",
+            description="CMN-protocol 5-way 5-shot eval (the lineage's "
+                        "second headline table; BASELINE.md context rows)",
+            eval=EvalConfig(n_way=5, k_shot=5, n_query=1, n_episodes=600,
+                            episodes_per_step=64, fusion="mean"),
+            extract=ExtractConfig(num_segments=8),
+        ),
+        Preset(
             name="synthetic_smoke",
             description="Dev: tiny synthetic end-to-end on CPU",
             eval=EvalConfig(n_way=3, k_shot=1, n_query=2, n_episodes=30,

@@ -228,3 +228,38 @@ def test_pallas_matcher_request_warns_when_unavailable(tmp_path):
     with pytest.warns(RuntimeWarning, match="pallas"):
         res = eov_eval.evaluate(table, cfg)
     assert len(res.per_episode) == 4
+
+
+def test_eval_5shot_protocol(tmp_path):
+    """k_shot=5 with prototype-mean fusion (the kinetics_5shot preset's
+    protocol) runs end to end, is deterministic, and beats 1-shot on a
+    noisy-but-separable table (more supports -> better prototypes)."""
+    rng = np.random.default_rng(9)
+    n_cls, clips, d = 8, 12, 32
+    means = rng.standard_normal((n_cls, 1, d)).astype(np.float32)
+    feats = means + 1.9 * rng.standard_normal(
+        (n_cls, clips, d)
+    ).astype(np.float32)
+    table = eov_eval.FeatureTable(
+        jnp.asarray(feats), jnp.full((n_cls,), clips, jnp.int32)
+    )
+    base = dict(n_way=5, n_episodes=200, episodes_per_step=50, n_query=2,
+                seed=11, fusion="mean")
+    res5 = eov_eval.evaluate(
+        table, eov_eval.EvalConfig(k_shot=5, **base)
+    )
+    res1 = eov_eval.evaluate(
+        table, eov_eval.EvalConfig(k_shot=1, **base)
+    )
+    assert res5.per_episode.shape == (200,)
+    assert res5.mean_acc > res1.mean_acc, (res5.mean_acc, res1.mean_acc)
+    res5b = eov_eval.evaluate(table, eov_eval.EvalConfig(k_shot=5, **base))
+    np.testing.assert_array_equal(res5.per_episode, res5b.per_episode)
+
+
+def test_kinetics_5shot_preset_protocol_shape():
+    from eov_tpu.config import get_preset
+
+    p = get_preset("kinetics_5shot")
+    assert p.eval.k_shot == 5 and p.eval.n_way == 5
+    assert p.eval.n_episodes == 600 and p.eval.fusion == "mean"

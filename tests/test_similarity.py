@@ -93,3 +93,37 @@ def test_batched_episode_dim():
             similarity.predict(jnp.asarray(q[e]), jnp.asarray(sup[e]))
         )
         np.testing.assert_array_equal(preds[e], single)
+
+
+def test_kshot_mean_fusion_numpy_oracle():
+    """K-shot (K>1) prototype-mean fusion vs an independent numpy oracle —
+    the CMN-lineage 5-shot rule (kinetics_5shot preset)."""
+    rng = np.random.default_rng(6)
+    n_way, k, q_n, d = 4, 5, 3, 12
+    sup = rng.standard_normal((n_way, k, d)).astype(np.float32)
+    q = rng.standard_normal((q_n, d)).astype(np.float32)
+
+    def norm(v):
+        return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+    # Oracle: ProtoNet semantics — prototype = raw-feature mean per class,
+    # then cosine (matches fused_class_scores' documented 'mean' rule).
+    scores = np.einsum("qd,nd->qn", norm(q), norm(sup.mean(axis=1)))
+    want = scores.argmax(axis=-1)
+    got = np.asarray(
+        similarity.predict(
+            jnp.asarray(q), jnp.asarray(sup), fusion="mean"
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+    # A query whose nearest single member is in the wrong class but whose
+    # nearest prototype is right must flip between max and mean fusion.
+    proto = np.full((2, 3, 4), 0.0, np.float32)
+    proto[0, :, 0] = 1.0                     # class 0: three aligned members
+    proto[1] = np.array([[1, 0.05, 0, 0],    # class 1: one near-query outlier
+                         [0, -1, 0, 0], [0, -1, 0, 0]], np.float32)
+    qq = np.array([[1, 0.1, 0, 0]], np.float32)
+    assert np.asarray(similarity.predict(
+        jnp.asarray(qq), jnp.asarray(proto), fusion="max"))[0] == 1
+    assert np.asarray(similarity.predict(
+        jnp.asarray(qq), jnp.asarray(proto), fusion="mean"))[0] == 0

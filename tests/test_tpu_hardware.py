@@ -191,3 +191,47 @@ def test_fused_bottleneck_stack_on_hardware(tpu_backend):
     gn = got16 / np.linalg.norm(got16, axis=1, keepdims=True)
     wn = want16 / np.linalg.norm(want16, axis=1, keepdims=True)
     assert np.sum(gn * wn, axis=1).min() > 0.9999
+
+
+@requires_tpu
+def test_grouped_fused_bottleneck_on_hardware(tpu_backend):
+    """fused_group=2 (the production default) compiles under Mosaic with the
+    raised scoped-VMEM cap and is bit-identical to group=1 on hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    from eov_tpu.ops.pallas_bottleneck import fused_bottleneck_stack
+
+    rng = np.random.default_rng(1)
+    n, h, w, cin, cmid, cout = 4, 8, 16, 128, 128, 256
+
+    def mk(shape):
+        return jnp.asarray(
+            (rng.standard_normal(shape) * 0.1).astype(np.float32)
+        ).astype(jnp.bfloat16)
+
+    blocks = []
+    for bi in range(2):
+        ci = cin if bi == 0 else cout
+        b = {"w1": mk((ci, cmid)),
+             "b1": jnp.asarray(rng.standard_normal((1, cmid)).astype(np.float32)),
+             "w2": mk((9, cmid, cmid)),
+             "b2": jnp.asarray(rng.standard_normal((1, cmid)).astype(np.float32)),
+             "w3": mk((cmid, cout)),
+             "b3": jnp.asarray(rng.standard_normal((1, cout)).astype(np.float32))}
+        if bi == 0:
+            b["wd"] = mk((ci, cout))
+            b["bd"] = jnp.asarray(
+                rng.standard_normal((1, cout)).astype(np.float32)
+            )
+        blocks.append(b)
+    x = mk((n, h * w, cin))
+    base = np.asarray(
+        fused_bottleneck_stack(x, blocks, h=h, w=w).astype(jnp.float32)
+    )
+    got = np.asarray(
+        fused_bottleneck_stack(x, blocks, h=h, w=w, group=2).astype(
+            jnp.float32
+        )
+    )
+    np.testing.assert_array_equal(got, base)
