@@ -38,12 +38,15 @@ def main() -> None:
     batch = int(os.environ.get("EOV_BENCH_BATCH", "64" if platform == "tpu" else "2"))
     iters = int(os.environ.get("EOV_BENCH_ITERS", "8" if platform == "tpu" else "2"))
     window = int(os.environ.get("EOV_BENCH_WINDOW", "8" if platform == "tpu" else "2"))
-    # Input storage resolution: short-side-256 (default, crop on device) or
-    # e.g. "224x224" (crop-resolution storage: normalize-only preprocess).
+    # Input storage resolution. Default = the production configuration:
+    # crop-resolution EOVC storage (224x224 frames, normalize-only
+    # preprocess — semantically identical for center-crop eval and +2%
+    # throughput, BASELINE.md r1/r2). Short-side-256 storage (crop on
+    # device) via EOV_BENCH_FRAME_HW=256x320 EOV_BENCH_SCALE=256.
     hw = tuple(
-        int(v) for v in os.environ.get("EOV_BENCH_FRAME_HW", "256x320").split("x")
+        int(v) for v in os.environ.get("EOV_BENCH_FRAME_HW", "224x224").split("x")
     )
-    scale = int(os.environ.get("EOV_BENCH_SCALE", "256"))
+    scale = int(os.environ.get("EOV_BENCH_SCALE", "224"))
     k = 8
 
     params = ResNet50(dtype=jnp.bfloat16).init(
