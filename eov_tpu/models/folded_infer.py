@@ -113,10 +113,11 @@ def folded_feature_apply(
             [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
     x = _bias_relu(x, params["bn1"]["bias"], dtype)
-    # reduce_window runs ~2.5x over its HBM roofline here (6.9% of the step,
-    # DESIGN.md §9 r2) but the strided-slice max decomposition in ops/pool.py
-    # measured FAR worse on v5e (888 vs 1438 clips/s — stride-2 slices on
-    # tiled dims relayout-copy; BASELINE.md r2). Keep reduce_window.
+    # Maxpool: the single fused reduce_window WINS on v5e. Both rewrites in
+    # ops/pool.py measured negative (BASELINE.md r2): strided-slice max 888
+    # clips/s (tiled-dim stride-2 slices relayout-copy), exact separable
+    # two-pass reduce_window 1409 vs 1452 (the 112x58-row intermediate's
+    # HBM round-trip costs more than dropping 3 of 9 window taps saves).
     x = jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         [(0, 0), (1, 1), (1, 1), (0, 0)],

@@ -12,18 +12,40 @@ separable into two 3-tap maxes, and with *non-negative* inputs (the pool
 sits after a ReLU) the -inf edge padding can be ordinary zero padding, so
 the whole op becomes two chains of strided slices + ``jnp.maximum``.
 
-**Measured NEGATIVE on v5e (BASELINE.md r2) — not wired into production.**
-Stride-2 slices along the tiled H/W dims do not fuse; XLA emits relayout
-copies and the extraction step went 44.5 ms -> 72 ms (1438 -> 888
-clips/s/chip). Kept as a parity-tested rewrite so the result isn't
-re-derived; the folded inference path stays on ``reduce_window``.
+**Both rewrites measured NEGATIVE on v5e (BASELINE.md r2) — not wired into
+production.** Strided-slice variant: stride-2 slices along the tiled H/W
+dims do not fuse; XLA emits relayout copies (1438 -> 888 clips/s/chip).
+Separable variant: the full-width intermediate map's HBM round-trip costs
+more than dropping 3 of 9 window taps saves (1452 -> 1409). Kept as
+parity-tested rewrites so the results aren't re-derived; the folded
+inference path stays on the single fused ``reduce_window``.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-__all__ = ["maxpool_3x3_s2_nonneg"]
+__all__ = ["maxpool_3x3_s2_nonneg", "maxpool_3x3_s2_separable"]
+
+
+def maxpool_3x3_s2_separable(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3/s2/p1 max-pool as two separable reduce_windows (exact).
+
+    max over a 3x3 window == max over rows of (max over columns): the two
+    1-D reduce_windows evaluate 6 window taps per output instead of 9 for
+    a lowering that is VPU-bound (DESIGN.md §9 r2 measured the fused 3x3
+    reduce_window at ~2.5x its HBM roofline). Bit-exact for any input —
+    unlike the nonneg strided-slice variant this needs no sign assumption.
+    """
+    v = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 1, 1), (1, 2, 1, 1),
+        [(0, 0), (1, 1), (0, 0), (0, 0)],
+    )
+    return jax.lax.reduce_window(
+        v, -jnp.inf, jax.lax.max, (1, 1, 3, 1), (1, 1, 2, 1),
+        [(0, 0), (0, 0), (1, 1), (0, 0)],
+    )
 
 
 def maxpool_3x3_s2_nonneg(x: jnp.ndarray) -> jnp.ndarray:

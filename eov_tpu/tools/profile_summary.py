@@ -66,8 +66,13 @@ def main(argv=None) -> int:
     print(f"device busy {busy/1e3:.2f} ms, idle {idle/1e3:.2f} ms "
           f"({busy/(busy+idle+1e-9)*100:.1f}% utilized)")
     for o in rows[1:]:
+        # Long op names are jit-scope paths; the informative part is the
+        # trailing op (keep the tail, not the shared prefix).
+        name = o["op"]
+        if len(name) > 90:
+            name = "…" + name[-89:]
         print(f"{o['share_of_busy']*100:5.1f}%  {o['self_us']:>10.1f} us  "
-              f"x{o['occurrences']:<5d} {o['op'][:90]}")
+              f"x{o['occurrences']:<5d} {name}")
     return 0
 
 

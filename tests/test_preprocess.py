@@ -200,10 +200,13 @@ def test_multiscale_crop_distorted_branches_execute():
 
 
 def test_maxpool_decomposition_matches_reduce_window():
-    """ops/pool.py strided-slice max == reduce_window(max) on inputs >= 0."""
+    """ops/pool.py rewrites == reduce_window(max): strided-slice variant on
+    inputs >= 0, separable variant unconditionally."""
     import jax.lax as lax
 
-    from eov_tpu.ops.pool import maxpool_3x3_s2_nonneg
+    from eov_tpu.ops.pool import (
+        maxpool_3x3_s2_nonneg, maxpool_3x3_s2_separable,
+    )
 
     rng = np.random.default_rng(7)
     for shape, dtype in [
@@ -222,4 +225,12 @@ def test_maxpool_decomposition_matches_reduce_window():
         assert got.dtype == ref.dtype
         np.testing.assert_array_equal(
             np.asarray(got, np.float32), np.asarray(ref, np.float32)
+        )
+        sep = maxpool_3x3_s2_separable(x - 0.5)  # sign-free: shift negative
+        ref2 = lax.reduce_window(
+            x - 0.5, -jnp.inf, lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            [(0, 0), (1, 1), (1, 1), (0, 0)],
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sep, np.float32), np.asarray(ref2, np.float32)
         )
