@@ -89,10 +89,14 @@ def main() -> None:
     from eov_tpu.extract import resolve_fused_stages
 
     fused_resolved = resolve_fused_stages(fused, folded=True, arch="resnet50")
-    variant = ("pallas_crop" if platform == "tpu" and pcrop else "xla") + "+fold_bn" + (
+    # The crop kernel only activates when the resize is an identity
+    # (storage short side == scale_size) — label what actually runs, and
+    # the +g suffix only applies when a fused stage exists.
+    crop_active = platform == "tpu" and pcrop and min(hw) == scale
+    variant = ("pallas_crop" if crop_active else "xla") + "+fold_bn" + (
         "+s2d" if s2d else ""
     ) + (f"+fs{''.join(map(str, fused_resolved))}" if fused_resolved else "") + (
-        f"+g{fgroup}" if fgroup > 1 else ""
+        f"+g{fgroup}" if fgroup > 1 and fused_resolved else ""
     )
     fn = make_feature_fn(params, cfg)
 

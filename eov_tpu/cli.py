@@ -186,7 +186,7 @@ def cmd_extract(args) -> int:
         feature_fn = make_sharded_feature_fn(
             params, mesh, scale_size=cfg.scale_size, crop_size=cfg.crop_size,
             compute_dtype=jnp.dtype(cfg.compute_dtype), arch=cfg.arch,
-            fused_stages=cfg.fused_stages,
+            fused_stages=cfg.fused_stages, fused_group=cfg.fused_group,
         )
         records = dist.process_record_shard(dataset.records)
 
