@@ -125,3 +125,45 @@ def test_analytic_flops_matches_hlo_cost_analysis():
     # conservative upper bound.
     assert ca["flops"] <= want
     assert abs(ca["flops"] - want) / want < 0.15
+
+
+def test_analytic_flops_model_direct():
+    """utils/flops.py: known values + HLO cross-check (DESIGN.md §8 rail)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eov_tpu.utils.flops import resnet_forward_flops
+
+    # The familiar numbers: resnet50 @ 224 = 4.1 GMACs (8.21 GFLOP at the
+    # 2-flops-per-MAC convention); resnet18 @ 224 = 1.8 GMACs.
+    assert abs(resnet_forward_flops("resnet50", (224, 224)) / 8.21e9 - 1) < 0.02
+    assert abs(resnet_forward_flops("resnet18", (224, 224)) / 3.64e9 - 1) < 0.02
+    # Monotone in resolution and depth.
+    assert resnet_forward_flops("resnet50", (224, 224)) > \
+        resnet_forward_flops("resnet50", (112, 112))
+    assert resnet_forward_flops("resnet101", (224, 224)) > \
+        resnet_forward_flops("resnet50", (224, 224))
+
+    # Cross-check vs XLA's own cost analysis of the same forward (conv+fc
+    # dominate; elementwise BN/relu/pool account for the small remainder).
+    from eov_tpu.models import ResNet50
+    from eov_tpu.models.resnet import feature_apply, fold_batchnorm
+
+    variables = ResNet50(dtype=jnp.float32).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+    )
+    folded = fold_batchnorm(variables)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    ca = jax.jit(
+        lambda v, x: feature_apply(v, x, dtype=jnp.float32, folded=True)
+    ).lower(folded, x).cost_analysis()
+    if ca and ca.get("flops"):
+        analytic = 2 * resnet_forward_flops("resnet50", (64, 64))
+        # XLA's cost analysis discounts padded window positions, so at this
+        # deliberately tiny test resolution it reports ~11% fewer flops
+        # (border cells are a large fraction of 16x16/8x8 maps; at the
+        # production 224x224 the same comparison is within 0.15% —
+        # BASELINE.md). The analytic model must bound HLO from above and
+        # stay within the border-effect margin.
+        ratio = ca["flops"] / analytic
+        assert 0.85 < ratio <= 1.001, (ca["flops"], analytic)
