@@ -164,10 +164,19 @@ def cmd_extract(args) -> int:
     metrics = MetricsWriter(args.metrics)
 
     cfg, feature_fn, records, mesh = preset.extract, None, None, None
-    if args.arch:
-        import dataclasses as _dc
+    import dataclasses as _dc
 
+    if args.arch:
         cfg = _dc.replace(cfg, arch=args.arch)
+    if getattr(args, "fused_stages", None) is not None:
+        spec = args.fused_stages
+        if spec != "auto":
+            stages = tuple(
+                int(v) for v in spec.replace("none", "").split(",") if v
+            )
+            cfg = _dc.replace(cfg, fused_stages=stages)
+    if getattr(args, "fused_group", None) is not None:
+        cfg = _dc.replace(cfg, fused_group=args.fused_group)
     if args.multichip:
         # Config 5 (pod_extract): DP over all chips of all hosts — mesh from
         # parallel/, per-host record shard, batches padded to mesh-divisible.
@@ -504,7 +513,17 @@ def main(argv=None) -> int:
 
     add("extract", cmd_extract,
         **{"--store": {"required": True},
-           "--multichip": {"action": "store_true"}})
+           "--multichip": {"action": "store_true"},
+           "--fused-stages": {
+               "dest": "fused_stages", "default": None, "metavar": "SPEC",
+               "help": "Pallas fused bottleneck stages: 'auto' (default), "
+                       "'none', or comma list e.g. '1' / '1,2'",
+           },
+           "--fused-group": {
+               "type": int, "dest": "fused_group", "default": None,
+               "help": "images per fused-kernel grid step (default 2, "
+                       "the measured optimum)",
+           }})
     add(
         "eval", cmd_eval,
         **{
