@@ -177,3 +177,23 @@ def test_grouped_kernel_non_divisible_degrades():
         fused_bottleneck_stack(x, blocks, h=h, w=w, group=2, interpret=True)
     )
     np.testing.assert_array_equal(got, base)
+
+
+def test_folded_infer_fused_generalizes_to_resnet101():
+    """The fusion path is arch-generic over bottleneck families: resnet101's
+    stage 1 (3 blocks, same shapes as resnet50) through the fused stack
+    equals its flax folded forward."""
+    from eov_tpu.models import get_arch
+
+    model = get_arch("resnet101")[0](dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 48, 48, 3)))
+    folded = fold_batchnorm(variables)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 48, 48, 3)).astype(np.float32))
+    want = np.asarray(feature_apply(folded, x, arch="resnet101",
+                                    dtype=jnp.float32, folded=True))
+    got = np.asarray(folded_feature_apply(
+        folded, x, arch="resnet101", dtype=jnp.float32,
+        fused_stages=(1,), fused_group=2, interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
