@@ -139,3 +139,39 @@ def test_cli_help_parses_for_every_subcommand(capsys):
             cli.main([sub, "--help"])
         assert e.value.code == 0
         capsys.readouterr()
+
+
+def test_make_splits_tool_and_cmn_dropin(tmp_path, monkeypatch, capsys):
+    """The C11 regeneration tool end to end, including the turnkey CMN
+    drop-in (VERDICT r1 #9): placing kinetics100_cmn_classes.txt makes the
+    tool emit the 64/12/24 CMN-shape split; without it, only UCF101."""
+    import shutil
+
+    from eov_tpu.data import class_splits as cs
+    from eov_tpu.tools import make_splits
+
+    d = tmp_path / "splits"
+    d.mkdir()
+    shutil.copy(
+        os.path.join(cs.SPLITS_DIR, "ucf101_classes.txt"),
+        d / "ucf101_classes.txt",
+    )
+    monkeypatch.setattr(cs, "SPLITS_DIR", str(d))
+    make_splits.main()
+    assert (d / "ucf101_oneshot.json").exists()
+    assert not (d / "kinetics100_cmn.json").exists()
+
+    # Drop in a stand-in class list (the published CMN names slot in the
+    # same way) and re-run: the CMN-protocol split appears.
+    (d / "kinetics100_cmn_classes.txt").write_text(
+        "".join(f"class_{i:03d}\n" for i in range(100))
+    )
+    make_splits.main()
+    split = cs.load_class_split(str(d / "kinetics100_cmn.json"))
+    sizes = {k: len(v) for k, v in split["class_splits"].items()}
+    assert sizes == {"train": 64, "val": 12, "test": 24}
+    assert split["protocol"] == "kinetics100_cmn_64_12_24"
+    # Deterministic: regenerating produces identical bytes.
+    first = (d / "kinetics100_cmn.json").read_bytes()
+    make_splits.main()
+    assert (d / "kinetics100_cmn.json").read_bytes() == first
