@@ -32,9 +32,12 @@ def main() -> None:
     import numpy as np
 
     from eov_tpu.extract import ExtractConfig, make_feature_fn
-    from eov_tpu.models import ResNet50
+    from eov_tpu.models import get_arch
 
     platform = jax.devices()[0].platform
+    # Backbone family knob (headline metric stays resnet50; other archs
+    # recorded for family-breadth context in BASELINE.md).
+    arch = os.environ.get("EOV_BENCH_ARCH", "resnet50")
     batch = int(os.environ.get("EOV_BENCH_BATCH", "64" if platform == "tpu" else "2"))
     iters = int(os.environ.get("EOV_BENCH_ITERS", "8" if platform == "tpu" else "2"))
     window = int(os.environ.get("EOV_BENCH_WINDOW", "8" if platform == "tpu" else "2"))
@@ -49,7 +52,7 @@ def main() -> None:
     scale = int(os.environ.get("EOV_BENCH_SCALE", "224"))
     k = 8
 
-    params = ResNet50(dtype=jnp.bfloat16).init(
+    params = get_arch(arch)[0](dtype=jnp.bfloat16).init(
         jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))
     )
     rng = np.random.default_rng(0)
@@ -83,12 +86,13 @@ def main() -> None:
     # optimum 2, BASELINE.md r2).
     fgroup = int(os.environ.get("EOV_BENCH_FUSED_GROUP", "2"))
     cfg = ExtractConfig(
-        num_segments=k, scale_size=scale, crop_size=224, stem_s2d=s2d,
-        fused_stages=fused, pallas_crop=pcrop, fused_group=fgroup,
+        num_segments=k, arch=arch, scale_size=scale, crop_size=224,
+        stem_s2d=s2d, fused_stages=fused, pallas_crop=pcrop,
+        fused_group=fgroup,
     )
     from eov_tpu.extract import resolve_fused_stages
 
-    fused_resolved = resolve_fused_stages(fused, folded=True, arch="resnet50")
+    fused_resolved = resolve_fused_stages(fused, folded=True, arch=arch)
     # The crop kernel only activates when the resize is an identity
     # (storage short side == scale_size) — label what actually runs, and
     # the +g suffix only applies when a fused stage exists.
@@ -140,7 +144,7 @@ def main() -> None:
         print(f"pallas path failed, XLA fallback: {e}", file=sys.stderr)
         variant = "xla+fold_bn"
         cfg = ExtractConfig(
-            num_segments=k, scale_size=scale, crop_size=224,
+            num_segments=k, arch=arch, scale_size=scale, crop_size=224,
             pallas_crop=False, fused_stages=(),
         )
         fn = make_feature_fn(params, cfg)
@@ -188,8 +192,8 @@ def main() -> None:
         try:
             xla_fn = make_feature_fn(
                 params,
-                ExtractConfig(num_segments=k, scale_size=scale, crop_size=224,
-                              pallas_crop=False, stem_s2d=s2d,
+                ExtractConfig(num_segments=k, arch=arch, scale_size=scale,
+                              crop_size=224, pallas_crop=False, stem_s2d=s2d,
                               fused_stages=()),
             )
             ca = jax.jit(xla_fn).lower(frames).compile().cost_analysis()
@@ -204,7 +208,7 @@ def main() -> None:
         # Backbone convs only; the default input pipelines' resize is the
         # identity (storage short side == scale_size) and crop+normalize is
         # O(pixels) — <1% of the conv stack.
-        step_flops = batch * k * resnet_forward_flops("resnet50", (224, 224))
+        step_flops = batch * k * resnet_forward_flops(arch, (224, 224))
         flops_source = "analytic_backbone"
 
     med = statistics.median(win_times)
@@ -212,12 +216,16 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "resnet50_clip_features_throughput",
+                "metric": (
+                    "resnet50_clip_features_throughput" if arch == "resnet50"
+                    else f"{arch}_clip_features_throughput"
+                ),
                 "value": round(clips_per_sec, 2),
                 "unit": "clips/sec/chip",
                 "vs_baseline": round(clips_per_sec / 1000.0, 4),
                 "detail": {
                     "platform": platform,
+                    "arch": arch,
                     "variant": variant,
                     "batch_clips": batch,
                     "num_segments": k,

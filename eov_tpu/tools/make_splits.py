@@ -1,4 +1,4 @@
-"""Generate checked-in class-split documents (C11) — `python -m eov_tpu.tools.make_splits`.
+"""Generate checked-in class-split documents (SURVEY.md §2a C11) — `python -m eov_tpu.tools.make_splits`.
 
 Regenerates eov_tpu/splits/*.json deterministically from the checked-in
 class lists. Run after editing a class list or adding a protocol; output is

@@ -51,3 +51,24 @@ def test_timer_laps_monotonic():
     t = Timer()
     assert t.lap() >= 0.0
     assert t.lap() >= 0.0
+
+
+def test_every_module_docstring_cites_its_capability():
+    """CLAUDE.md convention: every eov_tpu module states which reference
+    capability (SURVEY.md row / BASELINE target) it covers."""
+    import glob
+    import os
+
+    import eov_tpu
+
+    pkg = os.path.dirname(eov_tpu.__file__)
+    missing = []
+    for f in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        if os.path.basename(f) == "__init__.py":
+            continue
+        with open(f) as fh:
+            head = fh.read(2500)
+        if not any(tag in head for tag in
+                   ("SURVEY", "Capability parity", "BASELINE", "DESIGN")):
+            missing.append(os.path.relpath(f, pkg))
+    assert not missing, f"modules missing a capability citation: {missing}"
