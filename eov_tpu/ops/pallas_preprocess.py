@@ -32,30 +32,39 @@ from eov_tpu.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
 __all__ = ["crop_normalize"]
 
 
-def _kernel(x_ref, scale_ref, bias_ref, o_ref, *, top, left, crop, out_dtype):
-    # x_ref: [1, H, W*3] u8; slice the crop window, convert, affine.
-    x = x_ref[0, top : top + crop, left * 3 : (left + crop) * 3]
-    # Mosaic has no direct u8->f32 cast; widen through int32 first (values
-    # are 0..255 so the detour is exact).
-    xf = x.astype(jnp.int32).astype(jnp.float32)
-    y = xf * scale_ref[0] - bias_ref[0]
-    o_ref[0] = y.astype(out_dtype)
+def _kernel(x_ref, scale_ref, bias_ref, o_ref, *, top, left, crop, out_dtype,
+            group):
+    # x_ref: [G, H, W*3] u8; per frame: slice the crop window, convert,
+    # affine. G frames per grid step amortize the per-step DMA setup
+    # (one frame is only ~150 KB in / ~300 KB out).
+    for g in range(group):
+        x = x_ref[g, top : top + crop, left * 3 : (left + crop) * 3]
+        # Mosaic has no direct u8->f32 cast; widen through int32 first
+        # (values are 0..255 so the detour is exact).
+        xf = x.astype(jnp.int32).astype(jnp.float32)
+        y = xf * scale_ref[0] - bias_ref[0]
+        o_ref[g] = y.astype(out_dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("crop", "dtype", "interpret")
+    jax.jit, static_argnames=("crop", "dtype", "group", "interpret")
 )
 def crop_normalize(
     frames_u8: jax.Array,  # [..., H, W, 3] uint8
     *,
     crop: int = 224,
     dtype=jnp.bfloat16,
+    group: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """Center crop + ImageNet normalize, fused: uint8 -> dtype [..., crop, crop, 3].
 
     Semantics match ops.preprocess.center_crop + normalize exactly (f32
-    affine arithmetic, cast on store).
+    affine arithmetic, cast on store). ``group`` frames per grid step is
+    available (identical per-frame math; non-divisible counts degrade to
+    1) but measured NO WIN at g=4 on v5e (1424 vs the 1435-1452 noise band
+    at g=1 — Mosaic already pipelines the per-frame DMAs; BASELINE.md r2),
+    so the default stays 1.
     """
     *lead, h, w, c = frames_u8.shape
     if c != 3:
@@ -65,6 +74,7 @@ def crop_normalize(
     top, left = (h - crop) // 2, (w - crop) // 2
 
     b = int(np.prod(lead)) if lead else 1
+    g = group if group > 0 and b % group == 0 else 1
     flat = frames_u8.reshape(b, h, w * 3)
 
     scale = np.tile(1.0 / (255.0 * IMAGENET_STD), crop).astype(np.float32)
@@ -72,18 +82,19 @@ def crop_normalize(
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, top=top, left=left, crop=crop, out_dtype=jnp.dtype(dtype)
+            _kernel, top=top, left=left, crop=crop,
+            out_dtype=jnp.dtype(dtype), group=g,
         ),
-        grid=(b,),
+        grid=(b // g,),
         in_specs=[
-            pl.BlockSpec((1, h, w * 3), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, h, w * 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, crop * 3), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, crop * 3), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, crop, crop * 3), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, crop, crop * 3), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, crop, crop * 3), jnp.dtype(dtype)),
         cost_estimate=pl.CostEstimate(

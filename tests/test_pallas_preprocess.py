@@ -45,3 +45,19 @@ def test_rejects_small_frames():
     with pytest.raises(ValueError):
         crop_normalize(jnp.zeros((1, 32, 32, 3), jnp.uint8), crop=224,
                        interpret=True)
+
+
+def test_grouped_crop_kernel_bit_identical():
+    """group>1 (multi-frame grid steps) is bit-identical to group=1, and
+    non-divisible frame counts degrade to 1."""
+    rng = np.random.default_rng(8)
+    frames = jnp.asarray(
+        rng.integers(0, 256, (2, 4, 40, 48, 3), dtype=np.uint8)
+    )
+    a = np.asarray(crop_normalize(frames, crop=32, group=1, interpret=True))
+    b = np.asarray(crop_normalize(frames, crop=32, group=4, interpret=True))
+    np.testing.assert_array_equal(a, b)
+    odd = frames[:, :3]  # 6 frames, group 4 -> degrade to 1
+    c = np.asarray(crop_normalize(odd, crop=32, group=4, interpret=True))
+    d = np.asarray(crop_normalize(odd, crop=32, group=1, interpret=True))
+    np.testing.assert_array_equal(c, d)
