@@ -26,7 +26,10 @@ def test_bench_schema_and_floor(monkeypatch, capsys):
     assert rec["metric"] == "resnet50_clip_features_throughput"
     assert rec["unit"] == "clips/sec/chip"
     assert rec["value"] > 0
-    assert rec["vs_baseline"] == round(rec["value"] / 1000.0, 4)
+    # vs_baseline is computed from the unrounded clips/s while value is
+    # rounded to 2 decimals — compare approximately (a strict equality
+    # flaked when a tiny CPU throughput landed on a x.xx5 rounding edge).
+    assert abs(rec["vs_baseline"] - rec["value"] / 1000.0) < 1e-4
     assert rec["detail"]["median_step_s"] > 0
     if jax.default_backend() == "tpu":
         assert rec["value"] >= 1000, "TPU throughput floor (BASELINE.json:5)"
