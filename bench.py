@@ -28,6 +28,19 @@ import time
 
 def main() -> None:
     import jax
+
+    # Persistent compilation cache: batch-64 ResNet programs take 10-50 min
+    # to compile over the axon tunnel; caching the executable makes repeat
+    # bench runs (and the driver's run-of-record) near-instant when the
+    # backend supports serialization. Harmless no-op otherwise.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/eov_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
     import jax.numpy as jnp
     import numpy as np
 
