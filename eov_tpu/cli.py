@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -37,14 +38,26 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 
 
 def _setup_platform(args) -> None:
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if getattr(args, "debug_nans", False):
-        import jax
-
         jax.config.update("jax_debug_nans", True)
+    # Persistent compile cache — the batch-64 device programs compile in
+    # 10-50 min over the tunneled chip; the cache makes repeat runs of an
+    # unchanged program near-instant (verified working through the tunnel,
+    # BASELINE.md r2). Opt out with JAX_COMPILATION_CACHE_DIR="".
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/eov_jax_cache")
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 10.0
+            )
+        except Exception:  # noqa: BLE001 — cache is an optimization only
+            pass
 
 
 def _load_dataset(args):
