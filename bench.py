@@ -29,18 +29,9 @@ import time
 def main() -> None:
     import jax
 
-    # Persistent compilation cache: batch-64 ResNet programs take 10-50 min
-    # to compile over the axon tunnel; caching the executable makes repeat
-    # bench runs (and the driver's run-of-record) near-instant when the
-    # backend supports serialization. Harmless no-op otherwise.
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/eov_jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:  # noqa: BLE001 — cache is an optimization only
-        pass
+    from eov_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -229,10 +220,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": (
-                    "resnet50_clip_features_throughput" if arch == "resnet50"
-                    else f"{arch}_clip_features_throughput"
-                ),
+                "metric": f"{arch}_clip_features_throughput",
                 "value": round(clips_per_sec, 2),
                 "unit": "clips/sec/chip",
                 "vs_baseline": round(clips_per_sec / 1000.0, 4),

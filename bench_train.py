@@ -17,16 +17,9 @@ import time
 def main() -> None:
     import jax
 
-    # Persistent compile cache (see bench.py — verified working
-    # through the tunnel; repeat runs skip the long compile).
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/eov_jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:  # noqa: BLE001
-        pass
+    from eov_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 

@@ -37,6 +37,26 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="enable jax_debug_nans (SURVEY.md §5 sanitizers)")
 
 
+def _fused_stages_spec(s: str) -> str:
+    """argparse validator for --fused-stages (fail fast at parse time)."""
+    if s != "auto":
+        try:
+            tuple(int(v) for v in s.replace("none", "").split(",") if v)
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"invalid --fused-stages {s!r}: expected 'auto', 'none', "
+                "or a comma list like '1' / '1,2'"
+            )
+    return s
+
+
+def _positive_int(s: str) -> int:
+    v = int(s)
+    if v < 1:
+        raise argparse.ArgumentTypeError(f"expected a positive int, got {s}")
+    return v
+
+
 def _setup_platform(args) -> None:
     import jax
 
@@ -44,20 +64,11 @@ def _setup_platform(args) -> None:
         jax.config.update("jax_platforms", args.platform)
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
-    # Persistent compile cache — the batch-64 device programs compile in
-    # 10-50 min over the tunneled chip; the cache makes repeat runs of an
-    # unchanged program near-instant (verified working through the tunnel,
-    # BASELINE.md r2). Opt out with JAX_COMPILATION_CACHE_DIR="".
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               "/tmp/eov_jax_cache")
-    if cache_dir:
-        try:
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 10.0
-            )
-        except Exception:  # noqa: BLE001 — cache is an optimization only
-            pass
+    # Persistent compile cache (utils/compile_cache.py — verified working
+    # through the tunneled chip). Opt out with JAX_COMPILATION_CACHE_DIR="".
+    from eov_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
 
 def _load_dataset(args):
@@ -529,13 +540,15 @@ def main(argv=None) -> int:
            "--multichip": {"action": "store_true"},
            "--fused-stages": {
                "dest": "fused_stages", "default": None, "metavar": "SPEC",
+               "type": _fused_stages_spec,
                "help": "Pallas fused bottleneck stages: 'auto' (default), "
                        "'none', or comma list e.g. '1' / '1,2'",
            },
            "--fused-group": {
-               "type": int, "dest": "fused_group", "default": None,
+               "type": _positive_int, "dest": "fused_group", "default": None,
                "help": "images per fused-kernel grid step (default 2, "
-                       "the measured optimum)",
+                       "the measured optimum; non-divisible batches run "
+                       "ungrouped with a warning)",
            }})
     add(
         "eval", cmd_eval,

@@ -182,6 +182,15 @@ def fused_bottleneck_stack(
     if p != h * w:
         raise ValueError(f"x rows {p} != h*w {h * w}")
     g = group if group > 0 and n % group == 0 else 1
+    if group > 1 and g == 1:
+        # Trace-time (not per-step) warning: a benchmark labeled g=N that
+        # silently ran ungrouped would misattribute its measurement.
+        import warnings
+
+        warnings.warn(
+            f"fused_group={group} does not divide the image count {n}; "
+            "running ungrouped (group=1)", stacklevel=2,
+        )
     dtype = x.dtype
     cmid = blocks[0]["w2"].shape[-1]
     cout = blocks[-1]["w3"].shape[-1]
