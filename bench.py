@@ -73,12 +73,18 @@ def main() -> None:
     # "none" disables; unset = the ExtractConfig "auto" default ((1,) on
     # TPU — the measured optimum, BASELINE.md r2).
     fused_env = os.environ.get("EOV_BENCH_FUSED_STAGES")
-    if fused_env is None:
-        fused = "auto"
+    if fused_env is None or fused_env == "auto":
+        fused = "auto"  # 'auto' spelled out == unset (matches the CLI flag)
     else:
-        fused = tuple(
-            int(v) for v in fused_env.replace("none", "").split(",") if v
-        )
+        try:
+            fused = tuple(
+                int(v) for v in fused_env.replace("none", "").split(",") if v
+            )
+        except ValueError:
+            raise SystemExit(
+                f"EOV_BENCH_FUSED_STAGES={fused_env!r}: expected 'auto', "
+                "'none', or a comma-separated stage list like '1' or '1,2'"
+            )
     # The single-dispatch cross-check compiles fn standalone — a second
     # ~30-min compile on this tunneled dev chip — so it's opt-in.
     single = os.environ.get("EOV_BENCH_SINGLE", "0") == "1"

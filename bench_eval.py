@@ -49,15 +49,19 @@ def main() -> None:
 
     @functools.partial(jax.jit, static_argnames=())
     def run_window(key0):
-        def body(key, _):
-            key, sub = jax.random.split(key)
+        def body(key, step_i):
+            # Canonical ordinal protocol: per-step base ordinal varies the
+            # computation across scan steps (anti-hoisting) and matches how
+            # evaluate() drives the step.
             acc = ev.eval_step(
-                sub, features, counts, None, None,
+                key, step_i * e_step, features, counts, None, None,
                 n_way=5, k_shot=1, n_query=1, n_step=e_step,
                 metric="cosine", fusion="max", matcher=matcher,
             )
             return key, jnp.mean(acc)
-        _, accs = jax.lax.scan(body, key0, None, length=window)
+        _, accs = jax.lax.scan(
+            body, key0, jnp.arange(window, dtype=jnp.int32)
+        )
         return accs
 
     np.asarray(run_window(jax.random.PRNGKey(0)))  # compile + warm

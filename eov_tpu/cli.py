@@ -194,7 +194,11 @@ def cmd_extract(args) -> int:
         cfg = _dc.replace(cfg, arch=args.arch)
     if getattr(args, "fused_stages", None) is not None:
         spec = args.fused_stages
-        if spec != "auto":
+        if spec == "auto":
+            # Explicitly restore auto-resolution: the flag must win even
+            # over a preset/config that pinned explicit stages (ADVICE r2).
+            cfg = _dc.replace(cfg, fused_stages="auto")
+        else:
             stages = tuple(
                 int(v) for v in spec.replace("none", "").split(",") if v
             )
@@ -546,9 +550,12 @@ def main(argv=None) -> int:
            },
            "--fused-group": {
                "type": _positive_int, "dest": "fused_group", "default": None,
-               "help": "images per fused-kernel grid step (default 2, "
-                       "the measured optimum; non-divisible batches run "
-                       "ungrouped with a warning)",
+               "help": "images per fused-kernel grid step at the FIRST "
+                       "fused stage (default 2, the measured optimum); "
+                       "later fused stages scale it by their map-size "
+                       "ratio (e.g. stage 2 runs at 4x) to keep matmul "
+                       "rows constant; non-divisible batches run "
+                       "ungrouped with a warning",
            }})
     add(
         "eval", cmd_eval,

@@ -11,6 +11,12 @@ ranked per-item uniforms are a uniform draw without replacement — so episode
 construction fuses with the gather + matmul eval step (BASELINE.json:10,
 64 episodes/step).
 
+Canonical seeding (SURVEY.md §3.2 seeded protocol, §4.5): episode g's
+randomness is ``fold_in(key, g)`` where g is the GLOBAL episode ordinal —
+a pure function of (seed, protocol config), invariant to episodes_per_step,
+mesh size, and single- vs multi-chip execution. Batch samplers take a
+``base_ordinal`` and cover ordinals [base, base + n_episodes).
+
 Feature stores are padded to rectangular [C, max_clips]; per-class counts
 mask invalid slots out of the draw.
 """
@@ -48,14 +54,19 @@ def sample_episodes(
     n_query: int,
     n_episodes: int,
     max_clips: int,
+    base_ordinal: jax.Array | int = 0,
 ) -> EpisodeIndices:
-    """Sample E episodes over classes with ``class_counts[c]`` clips each.
+    """Sample episodes with global ordinals [base, base + n_episodes).
 
     Args:
         key: PRNG key — identical keys give identical episodes (the eval
             protocol's determinism requirement, SURVEY.md §4.3).
         class_counts: int32 [C], clips available per class.
         max_clips: static padded per-class capacity (>= class_counts.max()).
+        base_ordinal: global ordinal of the first episode in this batch
+            (traced scalar is fine). Episode g uses ``fold_in(key, g)`` so
+            the full episode sequence is independent of how it is batched
+            across steps or sharded across devices.
 
     Classes with fewer than k_shot + n_query clips are never selected.
     """
@@ -66,17 +77,23 @@ def sample_episodes(
     if need > max_clips:
         raise ValueError(f"k_shot+n_query={need} > max_clips={max_clips}")
 
-    k_cls, k_clip = jax.random.split(key)
+    ordinals = jnp.asarray(base_ordinal, jnp.int32) + jnp.arange(
+        n_episodes, dtype=jnp.int32
+    )
+    ep_keys = jax.vmap(lambda g: jax.random.fold_in(key, g))(ordinals)
+    k_cls, k_clip = jax.vmap(jax.random.split, out_axes=1)(ep_keys)
 
     # --- N classes per episode: ranked uniforms over eligible classes ---
     eligible = class_counts >= need  # [C]
-    cls_scores = jax.random.uniform(k_cls, (n_episodes, c))
+    cls_scores = jax.vmap(lambda k: jax.random.uniform(k, (c,)))(k_cls)
     cls_scores = jnp.where(eligible[None, :], cls_scores, -1.0)
     _, class_ids = jax.lax.top_k(cls_scores, n_way)  # [E, N]
 
     # --- k+q clip slots within each chosen class: ranked masked uniforms ---
     counts_sel = class_counts[class_ids]  # [E, N]
-    slot_scores = jax.random.uniform(k_clip, (n_episodes, n_way, max_clips))
+    slot_scores = jax.vmap(
+        lambda k: jax.random.uniform(k, (n_way, max_clips))
+    )(k_clip)
     valid = (
         jnp.arange(max_clips, dtype=jnp.int32)[None, None, :]
         < counts_sel[..., None]

@@ -78,6 +78,7 @@ class EvalResult(NamedTuple):
 )
 def eval_step(
     key,
+    base_ordinal,     # scalar int32: global ordinal of this step's first episode
     features,         # [C, M, D]
     counts,           # [C]
     virtual_feats,    # [C, V, D] or None
@@ -91,7 +92,10 @@ def eval_step(
     fusion: str,
     matcher: str = "auto",
 ):
-    """One device step: sample + gather + classify n_step episodes.
+    """One device step: sample + gather + classify episodes with global
+    ordinals [base_ordinal, base_ordinal + n_step) — the canonical seeded
+    protocol (episodes.py): the episode set depends only on (key, ordinal),
+    never on step batching or mesh layout.
 
     Returns per-episode accuracy [n_step] (float32).
     """
@@ -103,6 +107,7 @@ def eval_step(
         n_query=n_query,
         n_episodes=n_step,
         max_clips=features.shape[1],
+        base_ordinal=base_ordinal,
     )
 
     # Gathers: [E, N, K, D] support, [E, N, Q, D] query.
@@ -198,14 +203,15 @@ def evaluate(
     key = jax.random.PRNGKey(cfg.seed)
     accs = []
     done = 0
-    step_i = 0
     # Every step runs at the full episodes_per_step shape — the tail step is
-    # padded (extra episodes computed, truncated on host) so any n_episodes
-    # compiles exactly ONE device program (matching evaluate_sharded; a
-    # second trace is 20-40 min on the tunneled dev chip).
+    # padded (episodes past n_episodes computed, truncated on host) so any
+    # n_episodes compiles exactly ONE device program (matching
+    # evaluate_sharded; a second trace is 20-40 min on the tunneled dev
+    # chip). base_ordinal is traced, so step position never retraces.
     while done < cfg.n_episodes:
         acc = eval_step(
-            jax.random.fold_in(key, step_i),
+            key,
+            jnp.int32(done),
             table.features,
             table.counts,
             vf,
@@ -221,7 +227,6 @@ def evaluate(
         take = min(cfg.episodes_per_step, cfg.n_episodes - done)
         accs.append(np.asarray(acc)[:take])
         done += take
-        step_i += 1
 
     per_episode = np.concatenate(accs)
     mean = float(per_episode.mean())

@@ -61,11 +61,17 @@ class ExtractConfig:
                                    # "auto" = (1,) on TPU, () elsewhere —
                                    # the measured optimum (BASELINE.md r2:
                                    # stage 1 +2.3%, stages 1+2 negative).
-    fused_group: int = 2           # images per fused-kernel grid step
-                                   # (op-interleaved independent chains;
-                                   # measured optimum 2 — BASELINE.md r2:
-                                   # 1452 vs 1438 at g=1, 1412 at g=4;
-                                   # non-divisible batches degrade to 1)
+    fused_group: int = 2           # images per fused-kernel grid step AT
+                                   # THE FIRST fused stage (op-interleaved
+                                   # independent chains; measured optimum 2
+                                   # — BASELINE.md r2: 1452 vs 1438 at g=1,
+                                   # 1412 at g=4). Later fused stages scale
+                                   # it by their map-size ratio (row-
+                                   # normalized grouping: stage 2 runs at
+                                   # 4x this value) so every grid step
+                                   # keeps ~the same matmul row count;
+                                   # non-divisible batches degrade to 1
+                                   # with a warning naming both values.
     flush_every: int = 64          # clips per durable shard
     deterministic: bool = False    # disable decode/compute overlap (tests)
     pad_batches: bool = False      # pad short tail batches to batch_clips

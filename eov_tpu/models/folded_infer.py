@@ -147,6 +147,20 @@ def folded_feature_apply(
             if p0 is None:
                 p0 = h * w
             g = max(1, fused_group * (p0 // (h * w)))
+            if g > 1 and n % g:
+                # Traceable trace-time warning (ADVICE r2): name the user's
+                # fused_group alongside the row-normalized per-stage value,
+                # so "8 does not divide" maps back to the fused_group=2 set.
+                import warnings
+
+                warnings.warn(
+                    f"stage {i + 1}: row-normalized fused group {g} "
+                    f"(fused_group={fused_group} scaled by the stage's "
+                    f"{p0 // (h * w)}x smaller maps) does not divide the "
+                    f"image count {n}; running this stage ungrouped",
+                    stacklevel=2,
+                )
+                g = 1
             y = fused_bottleneck_stack(
                 x.reshape(n, h * w, c), blocks, h=h, w=w,
                 group=g, interpret=interpret,

@@ -115,10 +115,13 @@ def make_sharded_eval_step(
     """Multi-chip eval step: E episodes sharded over 'data'.
 
     The feature table is replicated (C·M·D is MBs); each device samples and
-    scores its E/dp episodes locally from a folded key — the only
-    communication is the [E] accuracy all-gather XLA inserts at the output.
-    Episode sampling uses a per-shard key fold so the global episode set is
-    deterministic for a given (seed, mesh size).
+    scores its E/dp episodes locally — the only communication is the [E]
+    accuracy all-gather XLA inserts at the output. Episode randomness is the
+    canonical ordinal protocol (episodes.py): shard s covers global ordinals
+    base + s·e_local + [0, e_local), so the gathered [E] vector is in global
+    ordinal order and BIT-IDENTICAL to single-chip eval.evaluate for the
+    same seed — independent of mesh size and episodes_per_step
+    (SURVEY.md §4.5: sharded == single-device results exactly).
 
     With ``embodied=True`` the step takes two extra args — the class-aligned
     virtual bank [C, V, D] and its counts [C] (embodied.align_virtual_bank)
@@ -131,16 +134,18 @@ def make_sharded_eval_step(
         )
     e_local = episodes_per_step // dp
 
-    def local_step(key, features, counts, virtual_feats, virtual_counts):
+    def local_step(key, base_ordinal, features, counts, virtual_feats,
+                   virtual_counts):
         shard = jax.lax.axis_index(DATA_AXIS)
         idx = ep.sample_episodes(
-            jax.random.fold_in(key, shard),
+            key,
             counts,
             n_way=n_way,
             k_shot=k_shot,
             n_query=n_query,
             n_episodes=e_local,
             max_clips=features.shape[1],
+            base_ordinal=base_ordinal + shard * e_local,
         )
         sup = features[idx.class_ids[..., None], idx.support_idx]
         qry = features[idx.class_ids[..., None], idx.query_idx]
@@ -164,11 +169,11 @@ def make_sharded_eval_step(
         # multi-controller caller needs to materialize the full vector.
         return jax.lax.all_gather(local_acc, DATA_AXIS, tiled=True)
 
-    n_in = 5 if embodied else 3
+    n_in = 6 if embodied else 4
     if not embodied:
-        def local_step3(key, features, counts):  # noqa: E306
-            return local_step(key, features, counts, None, None)
-        fn = local_step3
+        def local_step4(key, base_ordinal, features, counts):  # noqa: E306
+            return local_step(key, base_ordinal, features, counts, None, None)
+        fn = local_step4
     else:
         fn = local_step
     mapped = shard_map(
@@ -185,9 +190,10 @@ def evaluate_sharded(table, cfg, mesh: Mesh, virtual=None):
     """Full eval protocol over a mesh: E episodes in sharded device steps.
 
     Multi-chip counterpart of eval.evaluate (same EvalConfig / EvalResult /
-    CI math); episodes shard over 'data'. episodes_per_step must divide by
-    the data-axis size; the final short step falls back to fewer episodes
-    padded up to a full step and truncated on host.
+    CI math); episodes shard over 'data'. The canonical ordinal protocol
+    makes per_episode BIT-IDENTICAL to single-chip evaluate for the same
+    seed (episodes.py). episodes_per_step must divide by the data-axis
+    size; the tail step is padded up to a full step and truncated on host.
     """
     import numpy as np
 
@@ -213,16 +219,15 @@ def evaluate_sharded(table, cfg, mesh: Mesh, virtual=None):
             raise ValueError("embodied eval requires a virtual FeatureTable")
         args = (np.asarray(virtual.features), np.asarray(virtual.counts))
 
-    accs, done, i = [], 0, 0
+    key_np = np.asarray(key)
+    accs, done = [], 0
     while done < cfg.n_episodes:
         acc = np.asarray(
-            step(np.asarray(jax.random.fold_in(key, i)), features, counts,
-                 *args)
+            step(key_np, np.int32(done), features, counts, *args)
         )
         take = min(e_step, cfg.n_episodes - done)
         accs.append(acc[:take])
         done += take
-        i += 1
     per_episode = np.concatenate(accs)
     mean = float(per_episode.mean())
     std = float(per_episode.std(ddof=1)) if len(per_episode) > 1 else 0.0

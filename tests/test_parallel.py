@@ -104,8 +104,8 @@ def test_sharded_eval_step_runs_and_is_deterministic(devices8):
         mesh, n_way=5, k_shot=1, n_query=2, episodes_per_step=32
     )
     key = jax.random.PRNGKey(0)
-    acc1 = np.asarray(step(key, feats, counts))
-    acc2 = np.asarray(step(key, feats, counts))
+    acc1 = np.asarray(step(key, jnp.int32(0), feats, counts))
+    acc2 = np.asarray(step(key, jnp.int32(0), feats, counts))
     assert acc1.shape == (32,)
     np.testing.assert_array_equal(acc1, acc2)
     assert ((acc1 >= 0) & (acc1 <= 1)).all()
@@ -284,8 +284,9 @@ def test_distributed_helpers_single_process(devices8):
 
 
 def test_sharded_embodied_eval_matches_single_device(devices8):
-    """C9 x multichip: sharded embodied eval == eval.eval_step per shard-key
-    protocol (same fold_in scheme, 1 device) and runs on the 8-dev mesh."""
+    """C9 x multichip: the canonical ordinal protocol (episodes.py) makes
+    the 8-device sharded embodied eval match single-device eval.eval_step
+    bit-identically — mesh size is not part of the episode randomness."""
     from eov_tpu import eval as ev
 
     rng = np.random.default_rng(0)
@@ -299,24 +300,16 @@ def test_sharded_embodied_eval_matches_single_device(devices8):
         mesh8, n_way=3, k_shot=1, n_query=2, episodes_per_step=16,
         embodied=True,
     )
-    acc8 = np.asarray(step8(jax.random.PRNGKey(5), feats, counts,
-                            vfeats, vcounts))
+    acc8 = np.asarray(step8(jax.random.PRNGKey(5), jnp.int32(0), feats,
+                            counts, vfeats, vcounts))
     assert acc8.shape == (16,)
 
-    # Single-device mesh reproduces eval.eval_step with the same fold.
-    mesh1 = make_mesh(1, 1, devices=jax.devices()[:1])
-    step1 = sharded.make_sharded_eval_step(
-        mesh1, n_way=3, k_shot=1, n_query=2, episodes_per_step=16,
-        embodied=True,
-    )
-    acc1 = np.asarray(step1(jax.random.PRNGKey(5), feats, counts,
-                            vfeats, vcounts))
     ref = np.asarray(ev.eval_step(
-        jax.random.fold_in(jax.random.PRNGKey(5), 0), feats, counts,
+        jax.random.PRNGKey(5), jnp.int32(0), feats, counts,
         vfeats, vcounts, n_way=3, k_shot=1, n_query=2, n_step=16,
         metric="cosine", fusion="max",
     ))
-    np.testing.assert_allclose(acc1, ref, atol=1e-6)
+    np.testing.assert_allclose(acc8, ref, atol=1e-6)
 
 
 def test_remat_train_step_matches_exact():
@@ -389,3 +382,35 @@ def test_evaluate_sharded_protocol(devices8):
         table, dataclasses.replace(cfg, embodied=True), mesh, virtual=virt
     )
     assert re.mean_acc >= r1.mean_acc  # clean prototypes can only help
+
+
+def test_canonical_episode_protocol_invariant_to_execution_config(devices8):
+    """VERDICT r2 #1: the 600-episode set is a pure function of (seed,
+    protocol config). evaluate and evaluate_sharded must return
+    BIT-IDENTICAL per_episode vectors for the same seed — across different
+    episodes_per_step values, mesh sizes, and single- vs multi-chip."""
+    import dataclasses
+
+    from eov_tpu.eval import EvalConfig, FeatureTable, evaluate
+    from eov_tpu.parallel.sharded import evaluate_sharded
+
+    rng = np.random.default_rng(3)
+    protos = rng.standard_normal((8, 1, 32)).astype(np.float32)
+    feats = (protos + 0.9 * rng.standard_normal((8, 6, 32))).astype(np.float32)
+    table = FeatureTable(jnp.asarray(feats), jnp.full((8,), 6, jnp.int32))
+    cfg = EvalConfig(n_way=4, n_query=1, n_episodes=50, episodes_per_step=16,
+                     seed=9)
+
+    ref = evaluate(table, cfg)
+    # Same protocol, different step batching (incl. a non-divisible tail).
+    for eps in (8, 25, 64):
+        r = evaluate(table, dataclasses.replace(cfg, episodes_per_step=eps))
+        np.testing.assert_array_equal(r.per_episode, ref.per_episode)
+
+    # Sharded over 8 and over 2 devices; also a different episodes_per_step.
+    for n_dev, eps in ((8, 16), (2, 16), (8, 32)):
+        mesh = make_mesh(n_dev, 1, devices=jax.devices()[:n_dev])
+        r = evaluate_sharded(
+            table, dataclasses.replace(cfg, episodes_per_step=eps), mesh
+        )
+        np.testing.assert_array_equal(r.per_episode, ref.per_episode)
