@@ -67,6 +67,12 @@ def main() -> None:
     state, loss = run_window(state, jax.random.PRNGKey(1), frames, labels)
     float(loss)  # compile + warm
 
+    # xprof trace of the measured windows (VERDICT r2 #2: the train step's
+    # DESIGN §9-style attribution) — read with tools/profile_summary.
+    trace_dir = os.environ.get("EOV_TRAIN_TRACE")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
+
     win_times = []
     for i in range(iters):
         t0 = time.perf_counter()
@@ -75,6 +81,9 @@ def main() -> None:
         )
         float(loss)  # host read = true device sync
         win_times.append((time.perf_counter() - t0) / window)
+
+    if trace_dir:
+        jax.profiler.stop_trace()
 
     # FLOPs rail. NB lowered-HLO cost analysis counts a scan body ONCE
     # regardless of trip count (measured — see bench.py), so analyze the

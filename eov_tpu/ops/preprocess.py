@@ -14,6 +14,8 @@ ops/pallas_preprocess.py; this XLA path is the semantics reference for it.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +30,7 @@ __all__ = [
     "preprocess_eval",
     "preprocess_train",
     "preprocess_train_multiscale",
+    "preprocess_train_multiscale_switch",
 ]
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
@@ -145,7 +148,7 @@ def _ms_fix_offsets(max_t: int, max_l: int) -> tuple[list[int], list[int]]:
     return tops, lefts
 
 
-def preprocess_train_multiscale(
+def preprocess_train_multiscale_switch(
     key: jax.Array,
     frames_u8: jax.Array,
     *,
@@ -153,22 +156,16 @@ def preprocess_train_multiscale(
     crop_size: int = 224,
     dtype=jnp.float32,
 ) -> jax.Array:
-    """TSN GroupMultiScaleCrop + random hflip, per clip (reference C3 train).
+    """TSN GroupMultiScaleCrop + random hflip — lax.switch formulation.
 
-    Full-fidelity TSN train-time augmentation (the TSN-pytorch lineage's
-    GroupMultiScaleCrop with fix_crop + more_fix_crop, the repo-class
-    default): crop an (h, w) region whose sides are drawn from
-    {1, .875, .75, .66} x short side with at most one step of aspect
-    distortion between the h and w scale indices (10 pairs), at one of 13
-    canonical positions (corners/centers/quarters), then resize the region
-    to ``crop_size`` square; one draw applies to the whole K-frame group.
-
-    TPU-first: the crop extent is data-dependent but drawn from a STATIC
-    set, so this is a 10-way ``lax.switch`` (one branch per (h, w) pair,
-    each a static-size dynamic_slice + PIL-exact resize with per-branch
-    static matmul weights); the 13 offsets are a static gather inside each
-    branch. All branches emit [..., crop, crop, 3] — shapes stay static
-    under jit, and at runtime only the selected branch executes.
+    Semantics reference for ``preprocess_train_multiscale`` (the gathered-
+    weights production path below): one 10-way ``lax.switch`` branch per
+    (crop_h, crop_w) pair, each a static-size dynamic_slice + PIL-exact
+    resize. Correct and efficient UNVMAPPED — but under ``vmap`` (how
+    train.py consumes it, one draw per clip) JAX's batching rule for
+    ``switch`` executes EVERY branch and selects, turning 2 resize matmuls
+    into 18 plus large select trees (measured jaxpr, r3). Kept as the
+    parity oracle; train.py uses the gathered variant.
 
     frames_u8: uint8 [K, H, W, 3] (one clip). vmap over clips for a batch.
     """
@@ -195,6 +192,95 @@ def preprocess_train_multiscale(
         return branch
 
     x = jax.lax.switch(pair_i, [make_branch(ch, cw) for ch, cw in pairs], x)
+    flip = jax.random.bernoulli(k_flip)
+    x = jnp.where(flip, jnp.flip(x, axis=-2), x)
+    return normalize(x, dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _ms_weight_tables(h: int, w: int, crop_size: int):
+    """Per-(h, w) constant tables for the gathered multiscale crop.
+
+    For every (crop_h, crop_w) pair p the PIL-exact resize weight matrices
+    (ops/resize.py) are embedded left-aligned into fixed-size planes:
+    RH[p] : [crop, h] rows of ``bilinear_weights(crop_h -> crop)``, zero
+    beyond column crop_h; CW[p] : [w, crop] likewise. The crop OFFSET is
+    applied by rolling the image so the crop region starts at (0, 0), after
+    which the zero-padded columns ignore the wrapped-around rows/cols.
+    TOPS/LEFTS : [P, 13] int32 fix-crop offsets per pair.
+    """
+    pairs = _ms_crop_pairs(h, w, crop_size)
+    p = len(pairs)
+    rh = np.zeros((p, crop_size, h), np.float32)
+    cw_t = np.zeros((p, w, crop_size), np.float32)
+    tops = np.zeros((p, 13), np.int32)
+    lefts = np.zeros((p, 13), np.int32)
+    for i, (ch, cwid) in enumerate(pairs):
+        rh[i, :, :ch] = resize_ops.resize_weights_cached(ch, crop_size)
+        cw_t[i, :cwid, :] = resize_ops.resize_weights_cached(
+            cwid, crop_size
+        ).T
+        t, l = _ms_fix_offsets(h - ch, w - cwid)  # noqa: E741
+        tops[i], lefts[i] = t, l
+    return rh, cw_t, tops, lefts
+
+
+def preprocess_train_multiscale(
+    key: jax.Array,
+    frames_u8: jax.Array,
+    *,
+    scale_size: int = 256,
+    crop_size: int = 224,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """TSN GroupMultiScaleCrop + random hflip, per clip (reference C3 train).
+
+    Full-fidelity TSN train-time augmentation (GroupMultiScaleCrop with
+    fix_crop + more_fix_crop): crop an (h, w) region whose sides are drawn
+    from {1, .875, .75, .66} x short side with at most one step of aspect
+    distortion between the h and w scale indices (10 pairs), at one of 13
+    canonical positions, then resize the region to ``crop_size`` square;
+    one draw applies to the whole K-frame group.
+
+    TPU-first (r3): the data-dependent crop geometry is folded into the
+    resize WEIGHTS, not control flow — the image is rolled so the crop
+    region starts at (0, 0) and the two PIL-exact resize matmuls use
+    weight matrices GATHERED from a constant [P, crop, h]/[P, w, crop]
+    table by the drawn pair index (zero columns mask the rolled-in wrap).
+    One resize per clip regardless of P, and no all-branch blowup under
+    vmap (the lax.switch formulation above executes every branch when
+    vmapped — JAX's batching rule — costing 9x the matmuls; measured +11%
+    train-step time, BASELINE.md r3). Same weights, same arithmetic:
+    parity with the switch path is tested to f32 exactness.
+
+    frames_u8: uint8 [K, H, W, 3] (one clip). vmap over clips for a batch.
+    """
+    x = frames_u8.astype(jnp.float32)
+    x = resize_ops.resize_short_side(x, scale_size)
+    h, w = x.shape[-3], x.shape[-2]
+    rh, cw_t, tops, lefts = _ms_weight_tables(h, w, crop_size)
+
+    k_scale, k_pos, k_flip = jax.random.split(key, 3)
+    pair_i = jax.random.randint(k_scale, (), 0, len(tops))
+    pos_i = jax.random.randint(k_pos, (), 0, 13)
+
+    top = jnp.asarray(tops)[pair_i, pos_i]
+    left = jnp.asarray(lefts)[pair_i, pos_i]
+    x = jnp.roll(x, shift=(-top, -left), axis=(-3, -2))
+    wh = jnp.asarray(rh)[pair_i]      # [crop, h]
+    ww = jnp.asarray(cw_t)[pair_i]    # [w, crop]
+    # f32 HIGHEST precision matches resize_hw's f32 contract (<=1-LSB PIL
+    # parity); zero-padded weight columns contribute exact 0.0 terms.
+    y = jnp.einsum(
+        "oh,...hwc->...owc", wh, x,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    x = jnp.einsum(
+        "wp,...owc->...opc", ww, y,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
     flip = jax.random.bernoulli(k_flip)
     x = jnp.where(flip, jnp.flip(x, axis=-2), x)
     return normalize(x, dtype)

@@ -199,6 +199,42 @@ def test_multiscale_crop_distorted_branches_execute():
     assert shapes == {(2, 64, 64, 3)}
 
 
+def test_multiscale_gathered_matches_switch_oracle():
+    """The production gathered-weights GroupMultiScaleCrop (one resize with
+    pair-gathered PIL-exact matrices) == the lax.switch semantics oracle,
+    per key, to f32 rounding — including identity (crop==pair) branches,
+    distorted pairs, and all 13 offsets (r3 rewrite: the switch executes
+    every branch under vmap)."""
+    rng = np.random.default_rng(11)
+    clip = jnp.asarray(rng.integers(0, 256, (2, 72, 90, 3), dtype=np.uint8))
+    for i in range(40):
+        key = jax.random.PRNGKey(i)
+        fast = np.asarray(preprocess.preprocess_train_multiscale(
+            key, clip, scale_size=72, crop_size=64
+        ))
+        oracle = np.asarray(preprocess.preprocess_train_multiscale_switch(
+            key, clip, scale_size=72, crop_size=64
+        ))
+        np.testing.assert_allclose(fast, oracle, atol=2e-5, err_msg=f"key {i}")
+
+    # And under jit+vmap (how train.py consumes it).
+    f = jax.jit(jax.vmap(
+        lambda kk, c: preprocess.preprocess_train_multiscale(
+            kk, c, scale_size=72, crop_size=64
+        )
+    ))
+    keys = jax.random.split(jax.random.PRNGKey(0), 6)
+    clips = jnp.asarray(
+        rng.integers(0, 256, (6, 2, 72, 90, 3), dtype=np.uint8)
+    )
+    batched = np.asarray(f(keys, clips))
+    for j in range(6):
+        oracle = np.asarray(preprocess.preprocess_train_multiscale_switch(
+            keys[j], clips[j], scale_size=72, crop_size=64
+        ))
+        np.testing.assert_allclose(batched[j], oracle, atol=2e-5)
+
+
 def test_maxpool_decomposition_matches_reduce_window():
     """ops/pool.py rewrites == reduce_window(max): strided-slice variant on
     inputs >= 0, separable variant unconditionally."""
