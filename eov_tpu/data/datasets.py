@@ -230,35 +230,60 @@ class EovcVideoDataset:
         s, i = self._index[record.video_id]
         return self._load_one(s, i, np.asarray(indices, np.int32))
 
-    def get_batch(self, records, indices: np.ndarray) -> np.ndarray:
+    def _frame_hw(self) -> tuple[int, int]:
+        is_nat, ld = self._loaders[0]
+        return (ld.height, ld.width) if is_nat else (ld.h, ld.w)
+
+    def get_batch(
+        self, records, indices: np.ndarray, out: np.ndarray | None = None
+    ) -> np.ndarray:
         """Pooled multi-clip load [B, K, H, W, 3] (native fast path).
 
         Groups records by shard so each shard's thread pool decodes its
         members in one call; order is restored to match ``records``.
+        ``out`` reuses a caller buffer — essential for sustained rates:
+        fresh >32 MB numpy buffers are munmapped on free (glibc), so every
+        batch otherwise pays first-touch page faults (~35 MB/s on this dev
+        VM, measured r3); extract.py rotates a small buffer ring.
+        Per-shard runs that are contiguous in ``records`` decode straight
+        into the output with zero extra copies.
         """
         indices = np.asarray(indices, np.int32)
+        b, k = len(records), indices.shape[1]
+        h, w = self._frame_hw()
+        shape = (b, k, h, w, 3)
+        if out is None:
+            out = np.empty(shape, np.uint8)
+        elif out.shape != shape or out.dtype != np.uint8:
+            raise ValueError(
+                f"out buffer mismatch: want u8 {shape}, got "
+                f"{out.dtype} {out.shape}"
+            )
         by_shard: dict[int, list[int]] = {}
         locs = []
         for pos, r in enumerate(records):
             s, i = self._index[r.video_id]
             by_shard.setdefault(s, []).append(pos)
             locs.append((s, i))
-        out = None
         for s, positions in by_shard.items():
             is_nat, ld = self._loaders[s]
             ids = [locs[p][1] for p in positions]
             idx = indices[positions]
+            p0, p1 = positions[0], positions[-1] + 1
+            contiguous = positions == list(range(p0, p1))
             if is_nat:
-                block = ld.load_batch(ids, idx)
+                if contiguous:
+                    ld.load_batch(ids, idx, out=out[p0:p1])
+                else:
+                    out[positions] = ld.load_batch(ids, idx)
             else:
-                block = np.stack(
-                    [ld.load_frames(i, f) for i, f in zip(ids, idx)]
-                )
-            if out is None:
-                out = np.empty(
-                    (len(records),) + block.shape[1:], block.dtype
-                )
-            out[positions] = block
+                dst = out[p0:p1] if contiguous else None
+                for j, (i, f) in enumerate(zip(ids, idx)):
+                    frames = ld.load_frames(i, f)
+                    if dst is not None:
+                        dst[j] = frames
+                    else:
+                        out[positions[j]] = frames
         return out
 
 

@@ -101,6 +101,15 @@ def resolve_fused_stages(
     return tuple(fused_stages or ())
 
 
+# Process-wide host input-buffer ring (r3). Rationale: fresh >32 MB numpy
+# buffers are munmapped on free (glibc), so a per-batch np.empty pays
+# first-touch page faults every step — measured ~35 MB/s on the dev VM —
+# and production input pipelines want a pinned ring regardless. Keyed by
+# batch shape; grows to the pipeline depth actually used (2-3 buffers per
+# shape), reused across extract_features calls in the same process.
+_HOST_BUFS: dict[tuple, list] = {}
+
+
 def _center_indices_np(num_frames: int, k: int) -> np.ndarray:
     """Host-side exact TSN center sampling (mirrors data/segments.py)."""
     idx = (num_frames * (2 * np.arange(k) + 1)) // (2 * k)
@@ -202,13 +211,22 @@ def extract_features(
 
     stats = {"total": len(work), "skipped_done": len(work) - len(todo),
              "extracted": 0, "failed": 0}
-    pending: tuple[list[VideoRecord], jax.Array] | None = None
+    pending: tuple | None = None  # (records, feats_dev, host_buf | None)
     since_flush = 0
     timer = Timer()
 
+    # Host buffer ring (r3, process-wide — see _HOST_BUFS): a batch's
+    # buffer is recycled after its FEATURES materialize — by then its
+    # host->device transfer is long done.
+    free_bufs = _HOST_BUFS
+
+    def _take_buf(shape):
+        stack = free_bufs.get(shape)
+        return stack.pop() if stack else None
+
     def _materialize(p):
         nonlocal since_flush
-        records, feats_dev = p
+        records, feats_dev, host_buf = p
         if multi:
             # Only this host's rows are addressable; they are exactly the
             # features of this host's local input rows (row-parallel step).
@@ -224,19 +242,29 @@ def extract_features(
         if since_flush >= cfg.flush_every:
             store.flush()
             since_flush = 0
+        if host_buf is not None:
+            free_bufs.setdefault(host_buf.shape, []).append(host_buf)
 
     # Pooled decode fast path (native loader: one multi-threaded call per
     # batch, GIL released); per-record fallback keeps fault containment.
     can_pool = hasattr(dataset, "get_batch") and not cfg.fault_inject
 
-    def _decode_batch(batch: list[VideoRecord]):
+    def _decode_batch(batch: list[VideoRecord], out_buf=None):
+        """Returns (ok_records, clips) — clips is the stacked [B, K, H, W,
+        3] array itself on the pooled path (no per-clip split + re-stack:
+        that cost a full extra host copy + a fresh buffer per batch), or a
+        list of per-clip arrays on the fallback path."""
         if can_pool:
             try:
                 idx = np.stack([
                     _center_indices_np(r.num_frames, cfg.num_segments)
                     for r in batch
                 ])
-                return list(batch), list(dataset.get_batch(batch, idx))
+                try:
+                    arr = dataset.get_batch(batch, idx, out=out_buf)
+                except TypeError:  # out-less custom get_batch signature
+                    arr = dataset.get_batch(batch, idx)
+                return list(batch), arr
             except Exception as e:  # noqa: BLE001 — fall back per record
                 log.warning("pooled decode failed (%s); per-record retry", e)
         oks, clips = [], []
@@ -278,9 +306,17 @@ def extract_features(
 
         for s in range(n_steps):
             batch = todo[s * lb : (s + 1) * lb]
-            oks, clips = _decode_batch(batch) if batch else ([], [])
-            if clips:
-                shapes = {c.shape for c in clips}
+            buf = None
+            if batch and len(batch) == lb and known is not None:
+                buf = _take_buf((lb, *known.shape))
+            oks, clips = _decode_batch(batch, buf) if batch else ([], [])
+            pooled = isinstance(clips, np.ndarray)
+            if buf is not None and not pooled:
+                free_bufs.setdefault(buf.shape, []).append(buf)  # unused
+            if len(clips):
+                shapes = (
+                    {clips.shape[1:]} if pooled else {c.shape for c in clips}
+                )
                 if known is not None:
                     shapes.add(known.shape)
                 if len(shapes) > 1:
@@ -289,25 +325,32 @@ def extract_features(
                         f"normalized frame storage (saw {sorted(shapes)}); "
                         "pack with pack_eovc --short-side"
                     )
-                known = clips[0]
+                # .copy(): clips[0] on the pooled path is a view into a
+                # ring buffer that will be recycled.
+                known = np.asarray(clips[0]).copy() if pooled else clips[0]
             elif known is None:
                 known = _probe_clip()
-            stacked = (
-                np.stack(clips) if clips
-                else np.zeros((0, *known.shape), np.uint8)
-            )
+            if pooled and len(clips) == lb:
+                stacked = clips
+            else:
+                stacked = (
+                    np.stack(list(clips)) if len(clips)
+                    else np.zeros((0, *known.shape), np.uint8)
+                )
+                buf = None  # freshly stacked; nothing to recycle
             if len(clips) < lb:  # pad to the fixed local batch shape
-                pad_src = stacked[-1:] if clips else known[None]
+                pad_src = stacked[-1:] if len(clips) else known[None]
                 stacked = np.concatenate(
                     [stacked] + [pad_src] * (lb - len(clips))
                 )
+                buf = None
             frames = dist.host_batch_to_global(mesh, stacked)
             feats_dev = feature_fn(frames)  # async dispatch
             if cfg.deterministic:
                 feats_dev.block_until_ready()
             if pending is not None:
                 _materialize(pending)
-            pending = (oks, feats_dev)
+            pending = (oks, feats_dev, buf)
             metrics.write(
                 "extract_batch", n=len(oks), failed=len(batch) - len(oks),
                 seconds=timer.lap(),
@@ -320,11 +363,20 @@ def extract_features(
         return stats
 
     seen_shapes: set[tuple] = set()
+    known_clip_shape: tuple | None = None
     for start in range(0, len(todo), cfg.batch_clips):
         batch = todo[start : start + cfg.batch_clips]
-        oks, clips = _decode_batch(batch)
-        if clips:
-            hw = clips[0].shape[1:3]
+        buf = None
+        if can_pool and known_clip_shape is not None:
+            buf = _take_buf((len(batch), *known_clip_shape))
+        oks, clips = _decode_batch(batch, buf)
+        pooled = isinstance(clips, np.ndarray)
+        if buf is not None and not pooled:
+            free_bufs.setdefault(buf.shape, []).append(buf)  # unused
+        if len(clips):
+            hw = clips[0].shape[1:3] if not pooled else clips.shape[2:4]
+            if pooled:
+                known_clip_shape = clips.shape[1:]
             if hw not in seen_shapes:
                 seen_shapes.add(hw)
                 if len(seen_shapes) == 4:
@@ -336,30 +388,39 @@ def extract_features(
                         "shape recompiles the device program; pre-normalize "
                         "frame storage for throughput", sorted(seen_shapes),
                     )
-        # Group by frame resolution: mixed-resolution datasets (raw
-        # framedirs) can't stack into one array; each group is one device
-        # batch (and one compile per distinct shape — see warning above).
-        groups: dict[tuple, tuple[list, list]] = {}
-        for rec, clip in zip(oks, clips):
-            g = groups.setdefault(clip.shape[1:3], ([], []))
-            g[0].append(rec)
-            g[1].append(clip)
-        for g_oks, g_clips in groups.values():
-            stacked = np.stack(g_clips)
-            if cfg.pad_batches and len(g_clips) < cfg.batch_clips:
+        # Pooled path: one fixed-resolution array, no per-clip split +
+        # re-stack (that cost a full extra host copy + a fresh buffer per
+        # batch — r3). Fallback path: group by frame resolution, since
+        # mixed-resolution datasets can't stack into one array.
+        if pooled:
+            groups = {clips.shape[2:4]: (oks, clips)}
+        else:
+            gd: dict[tuple, tuple[list, list]] = {}
+            for rec, clip in zip(oks, clips):
+                g = gd.setdefault(clip.shape[1:3], ([], []))
+                g[0].append(rec)
+                g[1].append(clip)
+            groups = {
+                k: (g_oks, np.stack(g_clips))
+                for k, (g_oks, g_clips) in gd.items()
+            }
+        for g_oks, stacked in groups.values():
+            g_buf = buf if pooled else None
+            if cfg.pad_batches and len(stacked) < cfg.batch_clips:
                 # Repeat the last clip up to the full batch; _materialize's
                 # zip(records, feats) drops the padded rows.
                 pad = np.repeat(
-                    stacked[-1:], cfg.batch_clips - len(g_clips), axis=0
+                    stacked[-1:], cfg.batch_clips - len(stacked), axis=0
                 )
                 stacked = np.concatenate([stacked, pad])
+                g_buf = None  # padded copy; original tail buf not in flight
             frames = jnp.asarray(stacked)  # [B, K, H, W, 3] uint8
             feats_dev = feature_fn(frames)  # async dispatch — returns now
             if cfg.deterministic:
                 feats_dev.block_until_ready()
             if pending is not None:
                 _materialize(pending)  # overlap: prior batch drains while
-            pending = (g_oks, feats_dev)  # this one computes
+            pending = (g_oks, feats_dev, g_buf)  # this one computes
         metrics.write(
             "extract_batch", n=len(oks), failed=len(batch) - len(oks),
             seconds=timer.lap(),

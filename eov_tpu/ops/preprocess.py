@@ -266,9 +266,14 @@ def preprocess_train_multiscale(
 
     top = jnp.asarray(tops)[pair_i, pos_i]
     left = jnp.asarray(lefts)[pair_i, pos_i]
-    x = jnp.roll(x, shift=(-top, -left), axis=(-3, -2))
-    wh = jnp.asarray(rh)[pair_i]      # [crop, h]
-    ww = jnp.asarray(cw_t)[pair_i]    # [w, crop]
+    # Fold the crop OFFSET into the weight matrices too: rolling the [crop,
+    # h] weights by +top aligns weight row j with source row top+j — 180x
+    # less data moved than rolling the [K, h, w, 3] clip (the r3 trace
+    # showed the vmapped image roll lowering to per-clip gathers at ~1.6
+    # ms/step). Nonzero columns [0, ch) land in [top, top+ch) ⊆ [0, h), so
+    # the roll never wraps a nonzero weight.
+    wh = jnp.roll(jnp.asarray(rh)[pair_i], top, axis=1)    # [crop, h]
+    ww = jnp.roll(jnp.asarray(cw_t)[pair_i], left, axis=0)  # [w, crop]
     # f32 HIGHEST precision matches resize_hw's f32 contract (<=1-LSB PIL
     # parity); zero-padded weight columns contribute exact 0.0 terms.
     y = jnp.einsum(
