@@ -46,6 +46,15 @@ class TrainConfig:
     remat: bool = False               # checkpoint residual blocks (big batch)
     augment: str = "multiscale"       # 'multiscale' (TSN GroupMultiScaleCrop)
                                       # | 'randomcrop'
+    # Stage 1 through the custom-VJP VMEM-fused Pallas stack (DESIGN.md
+    # §9b: stage-1/2 backward convs dominate the step at 2-8% MXU).
+    # 'auto' = on TPU when partial_bn (the only supported regime — frozen
+    # stage BNs are what make the fused backward exact); 'on' forces it
+    # (reference/interpret impl off-TPU, for tests); 'off' disables.
+    fused_stage1: str = "auto"
+    # Stage 2's stride-1 tail (layer2_1..3) through the same fused op; the
+    # strided entry block (layer2_0) stays XLA. Requires fused_stage1.
+    fused_stage2: str = "auto"
     compute_dtype: str = "bfloat16"
     scale_size: int = 256
     crop_size: int = 224
@@ -149,6 +158,83 @@ def make_train_step(
         else preprocess.preprocess_train
     )
 
+    # Resolve the fused-stage-1 train path (custom-VJP Pallas stack).
+    # Requirements: partial_bn (frozen stage BNs = constant affines) and a
+    # bottleneck arch (the TrainConfig path is ResNet-50).
+    fuse = cfg.fused_stage1 == "on" or (
+        cfg.fused_stage1 == "auto"
+        and cfg.partial_bn
+        and jax.default_backend() == "tpu"
+    )
+    if fuse and not cfg.partial_bn:
+        raise ValueError(
+            "fused_stage1='on' requires partial_bn=True (frozen stage BNs)"
+        )
+    fuse2 = fuse and (
+        cfg.fused_stage2 == "on"
+        or (cfg.fused_stage2 == "auto" and cfg.fused_stage1 == "auto"
+            and jax.default_backend() == "tpu")
+    )
+    if cfg.fused_stage2 == "on" and not fuse:
+        raise ValueError("fused_stage2='on' requires fused_stage1")
+    if fuse:
+        from eov_tpu.models.fused_train import (
+            ResNetSlice, ResNetStem, stage_block_specs,
+        )
+        from eov_tpu.ops.pallas_bottleneck_train import (
+            bottleneck_stack_train, pack_train_block,
+        )
+
+        on_tpu = jax.default_backend() == "tpu"
+        sizes = (3, 4, 6, 3)  # the TrainConfig path is ResNet-50
+        cdt = jnp.dtype(cfg.compute_dtype)
+        stem = ResNetStem(dtype=cdt)
+        mid = (
+            ResNetSlice(blocks=stage_block_specs(sizes, 64, (2,))[:1],
+                        dtype=cdt, remat=cfg.remat)
+            if fuse2 else None
+        )  # layer2_0 (strided entry) only
+        tail = ResNetSlice(
+            blocks=stage_block_specs(sizes, 64, (3, 4) if fuse2 else
+                                     (2, 3, 4)),
+            head=True,
+            num_classes=cfg.num_classes,
+            dtype=cdt,
+            dropout_rate=cfg.dropout,
+            remat=cfg.remat,
+        )
+
+        def fused_stacks(params, batch_stats, xs):
+            """stage 1 fused (+ stage-2 tail fused): [N,56,56,64] -> map."""
+            n, hh, ww, c = xs.shape
+            blocks1 = [
+                pack_train_block(
+                    params[f"layer1_{j}"], batch_stats[f"layer1_{j}"]
+                )
+                for j in range(sizes[0])
+            ]
+            y = bottleneck_stack_train(
+                xs.astype(jnp.float32).reshape(n, hh * ww, c),
+                blocks1, hh, ww, cfg.compute_dtype, on_tpu, False,
+            ).reshape(n, hh, ww, -1)
+            if not fuse2:
+                return y
+            y = mid.apply(
+                {"params": params, "batch_stats": batch_stats}, y,
+                train=True,
+            )
+            n, hh, ww, c = y.shape
+            blocks2 = [
+                pack_train_block(
+                    params[f"layer2_{j}"], batch_stats[f"layer2_{j}"]
+                )
+                for j in range(1, sizes[1])
+            ]
+            return bottleneck_stack_train(
+                y.astype(jnp.float32).reshape(n, hh * ww, c),
+                blocks2, hh, ww, cfg.compute_dtype, on_tpu, False,
+            ).reshape(n, hh, ww, -1)
+
     def loss_fn(params, batch_stats, frames_u8, labels, key):
         b, k = frames_u8.shape[0], frames_u8.shape[1]
         keys = jax.random.split(key, b)
@@ -159,19 +245,32 @@ def make_train_step(
             )
         )(keys, frames_u8)  # [B, K, crop, crop, 3]
         flat = x.reshape((b * k,) + x.shape[2:])
-        logits, updates = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            flat,
-            train=True,
-            mutable=["batch_stats"],
-            rngs={"dropout": jax.random.fold_in(key, 1)},
-        )
+        if fuse:
+            variables = {"params": params, "batch_stats": batch_stats}
+            xs, upd = stem.apply(
+                variables, flat, train=True, mutable=["batch_stats"]
+            )
+            y = fused_stacks(params, batch_stats, xs)
+            logits = tail.apply(
+                variables, y, train=True,
+                rngs={"dropout": jax.random.fold_in(key, 1)},
+            )
+            new_stats = {**batch_stats, **upd["batch_stats"]}
+        else:
+            logits, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                flat,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(key, 1)},
+            )
+            new_stats = updates["batch_stats"]
         logits = logits.reshape(b, k, -1).mean(axis=1)  # TSN consensus
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, labels
         ).mean()
         acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-        return loss, (updates["batch_stats"], acc)
+        return loss, (new_stats, acc)
 
     def train_step(state: TrainState, frames_u8, labels, key):
         (loss, (new_stats, acc)), grads = jax.value_and_grad(

@@ -235,3 +235,55 @@ def test_grouped_fused_bottleneck_on_hardware(tpu_backend):
         )
     )
     np.testing.assert_array_equal(got, base)
+
+
+def test_train_fused_stack_fwd_bwd_on_hardware(tpu_backend):
+    """Compiled train-mode fused stack (ops/pallas_bottleneck_train.py):
+    forward and the custom backward (dx + all conv wgrads) match the JAX
+    reference on the real chip. Mosaic-compiled vs interpret divergence is
+    exactly what this guards (CLAUDE.md: always hardware-test kernels)."""
+    import eov_tpu.ops.pallas_bottleneck_train as bt
+
+    rng = np.random.default_rng(11)
+    h, w, cin, cmid, cout = 8, 16, 128, 64, 128
+
+    def mk(ci, proj):
+        b = {"w1": rng.normal(0, .1, (ci, cmid)),
+             "w2": rng.normal(0, .1, (9, cmid, cmid)),
+             "w3": rng.normal(0, .1, (cmid, cout)),
+             "s1": rng.normal(1, .05, cmid), "b1": rng.normal(0, .05, cmid),
+             "s2": rng.normal(1, .05, cmid), "b2": rng.normal(0, .05, cmid),
+             "s3": rng.normal(1, .05, cout), "b3": rng.normal(0, .05, cout)}
+        if proj:
+            b["wd"] = rng.normal(0, .1, (ci, cout))
+            b["sd"] = rng.normal(1, .05, cout)
+            b["bd"] = rng.normal(0, .05, cout)
+        return {k: jnp.asarray(v, jnp.float32) for k, v in b.items()}
+
+    blocks = [mk(cin, True), mk(cout, False)]
+    x = jnp.asarray(
+        rng.normal(0, 1, (4, h * w, cin)).astype(np.float32)
+    )
+    dy = jnp.asarray(
+        rng.normal(0, 1, (4, h * w, cout)).astype(np.float32)
+    )
+
+    yp = np.asarray(bt._fwd_pallas(
+        x, blocks, h=h, w=w, dtype=jnp.bfloat16, interpret=False
+    ))
+    yr = np.asarray(bt._stack_forward_ref(
+        x, blocks, h=h, w=w, dtype=jnp.bfloat16
+    ))
+    assert np.abs(yp - yr).max() / (np.abs(yr).max() + 1e-9) < 2e-2
+
+    dxp, dwsp = bt._bwd_pallas(
+        x, blocks, dy, h=h, w=w, dtype=jnp.bfloat16, interpret=False
+    )
+    dxr, dwsr = bt._bwd_ref(x, blocks, dy, h=h, w=w, dtype=jnp.bfloat16)
+    assert (np.abs(np.asarray(dxp) - np.asarray(dxr)).max()
+            / (np.abs(np.asarray(dxr)).max() + 1e-9)) < 2e-2
+    for i, (r, p_) in enumerate(zip(dwsr, dwsp)):
+        for k in r:
+            a, b_ = np.asarray(r[k]), np.asarray(p_[k])
+            rel = np.abs(a - b_).max() / (np.abs(a).max() + 1e-9)
+            assert rel < 3e-2, (i, k, rel)
