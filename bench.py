@@ -43,8 +43,13 @@ def main() -> None:
     # recorded for family-breadth context in BASELINE.md).
     arch = os.environ.get("EOV_BENCH_ARCH", "resnet50")
     batch = int(os.environ.get("EOV_BENCH_BATCH", "64" if platform == "tpu" else "2"))
-    iters = int(os.environ.get("EOV_BENCH_ITERS", "8" if platform == "tpu" else "2"))
-    window = int(os.environ.get("EOV_BENCH_WINDOW", "8" if platform == "tpu" else "2"))
+    iters = int(os.environ.get("EOV_BENCH_ITERS", "5" if platform == "tpu" else "2"))
+    # Scan window (steps per dispatched program). The measured value
+    # converges to the true device rate FROM BELOW as the window grows
+    # (wall/W >= true step time always; per-window host-read overhead
+    # shrinks as 1/W). Window 8 understated resnet50 by ~6% and resnet101
+    # by ~2.4% on this tunneled box (BASELINE.md r3).
+    window = int(os.environ.get("EOV_BENCH_WINDOW", "32" if platform == "tpu" else "2"))
     # Input storage resolution. Default = the production configuration:
     # crop-resolution EOVC storage (224x224 frames, normalize-only
     # preprocess — semantically identical for center-crop eval and +2%
