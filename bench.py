@@ -43,13 +43,14 @@ def main() -> None:
     # recorded for family-breadth context in BASELINE.md).
     arch = os.environ.get("EOV_BENCH_ARCH", "resnet50")
     batch = int(os.environ.get("EOV_BENCH_BATCH", "64" if platform == "tpu" else "2"))
-    iters = int(os.environ.get("EOV_BENCH_ITERS", "5" if platform == "tpu" else "2"))
+    iters = int(os.environ.get("EOV_BENCH_ITERS", "4" if platform == "tpu" else "2"))
     # Scan window (steps per dispatched program). The measured value
     # converges to the true device rate FROM BELOW as the window grows
     # (wall/W >= true step time always; per-window host-read overhead
-    # shrinks as 1/W). Window 8 understated resnet50 by ~6% and resnet101
-    # by ~2.4% on this tunneled box (BASELINE.md r3).
-    window = int(os.environ.get("EOV_BENCH_WINDOW", "32" if platform == "tpu" else "2"))
+    # shrinks as 1/W). Measured convergence on this tunneled box, same
+    # committed program (BASELINE.md r3): w8 1446 -> w16 1504 -> w32 1540
+    # -> w64 1555 clips/s; 64 is within ~0.5% of the implied asymptote.
+    window = int(os.environ.get("EOV_BENCH_WINDOW", "64" if platform == "tpu" else "2"))
     # Input storage resolution. Default = the production configuration:
     # crop-resolution EOVC storage (224x224 frames, normalize-only
     # preprocess — semantically identical for center-crop eval and +2%
@@ -100,10 +101,12 @@ def main() -> None:
     # Images per fused-kernel grid step (op-interleaved chains; measured
     # optimum 2, BASELINE.md r2).
     fgroup = int(os.environ.get("EOV_BENCH_FUSED_GROUP", "2"))
+    # Stem maxpool as a Pallas VMEM kernel (ops/pallas_pool.py).
+    ppool = os.environ.get("EOV_BENCH_PALLAS_POOL", "0") == "1"
     cfg = ExtractConfig(
         num_segments=k, arch=arch, scale_size=scale, crop_size=224,
         stem_s2d=s2d, fused_stages=fused, pallas_crop=pcrop,
-        fused_group=fgroup,
+        fused_group=fgroup, pallas_pool=ppool,
     )
     from eov_tpu.extract import resolve_fused_stages
 
@@ -116,7 +119,7 @@ def main() -> None:
         "+s2d" if s2d else ""
     ) + (f"+fs{''.join(map(str, fused_resolved))}" if fused_resolved else "") + (
         f"+g{fgroup}" if fgroup > 1 and fused_resolved else ""
-    )
+    ) + ("+ppool" if ppool and fused_resolved else "")
     fn = make_feature_fn(params, cfg)
 
     trace_dir = os.environ.get("EOV_BENCH_TRACE")

@@ -31,8 +31,11 @@ def main() -> None:
     platform = jax.devices()[0].platform
     matcher = os.environ.get("EOV_EVAL_MATCHER", "auto")
     e_step = int(os.environ.get("EOV_EVAL_EPISODES_PER_STEP", "64"))
-    iters = int(os.environ.get("EOV_EVAL_ITERS", "20" if platform == "tpu" else "3"))
-    window = int(os.environ.get("EOV_EVAL_WINDOW", "64" if platform == "tpu" else "2"))
+    iters = int(os.environ.get("EOV_EVAL_ITERS", "10" if platform == "tpu" else "3"))
+    # Long window: the ~ms per-window host-read overhead of the tunneled
+    # chip shrinks as 1/window (BASELINE.md r3 window study); at ~0.6 ms
+    # eval steps 512 steps ≈ 0.3 s device per window.
+    window = int(os.environ.get("EOV_EVAL_WINDOW", "512" if platform == "tpu" else "2"))
 
     rng = np.random.default_rng(0)
     c, m, d = 24, 100, 2048
@@ -89,6 +92,8 @@ def main() -> None:
                     "table_cmd": [c, m, d],
                     "median_step_s": round(med, 6),
                     "full_600_episode_eval_s": round(600 / (e_step / med), 4),
+                    "eps_per_sec_min": round(e_step / max(win_times), 2),
+                    "eps_per_sec_max": round(e_step / min(win_times), 2),
                 },
             }
         )

@@ -29,7 +29,10 @@ def main() -> None:
     batch = int(os.environ.get("EOV_TRAIN_BATCH", "32" if platform == "tpu" else "2"))
     k = int(os.environ.get("EOV_TRAIN_K", "3"))
     iters = int(os.environ.get("EOV_TRAIN_ITERS", "6" if platform == "tpu" else "2"))
-    window = int(os.environ.get("EOV_TRAIN_WINDOW", "4" if platform == "tpu" else "1"))
+    # Per-window host-read overhead (~20 ms on the tunneled chip) shrinks
+    # as 1/window; readings converge to the true device rate from below
+    # (BASELINE.md r3 window study). 16 steps ≈ 0.7 s device per window.
+    window = int(os.environ.get("EOV_TRAIN_WINDOW", "16" if platform == "tpu" else "1"))
     hw = (40, 48) if platform != "tpu" else (256, 320)
     scale, crop = (36, 32) if platform != "tpu" else (256, 224)
 
@@ -127,7 +130,9 @@ def main() -> None:
                        if platform == "tpu" else None
                    ),
                    "flops_source": flops_source,
-                   "window": window},
+                   "window": window,
+                   "clips_per_sec_min": round(batch / max(win_times), 2),
+                   "clips_per_sec_max": round(batch / min(win_times), 2)},
     }))
 
 

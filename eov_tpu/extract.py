@@ -79,6 +79,9 @@ class ExtractConfig:
                                    # padded rows are dropped on materialize)
     fault_inject: float = 0.0      # P(decode failure) for failure-path tests
     fault_seed: int = 0
+    pallas_pool: bool = False      # stem maxpool as a Pallas VMEM kernel
+                                   # (ops/pallas_pool.py) instead of XLA
+                                   # reduce_window; fused path only
 
 
 def resolve_fused_stages(
@@ -165,6 +168,7 @@ def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
                 fused_stages=fused_stages,
                 fused_group=cfg.fused_group,
                 stem_s2d=cfg.stem_s2d,
+                pallas_pool=cfg.pallas_pool,
                 interpret=jax.default_backend() != "tpu",
             )  # [B, K, D]
         else:

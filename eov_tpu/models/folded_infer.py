@@ -64,7 +64,8 @@ def _xla_bottleneck(x, p, *, stride, dtype):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "arch", "dtype", "fused_stages", "fused_group", "stem_s2d", "interpret"
+        "arch", "dtype", "fused_stages", "fused_group", "stem_s2d",
+        "pallas_pool", "interpret",
     ),
 )
 def folded_feature_apply(
@@ -76,6 +77,7 @@ def folded_feature_apply(
     fused_stages: tuple[int, ...] = (1,),
     fused_group: int = 1,
     stem_s2d: bool = False,
+    pallas_pool: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """frames [..., H, W, 3] -> features [..., D]; folded variables only.
@@ -113,15 +115,22 @@ def folded_feature_apply(
             [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
     x = _bias_relu(x, params["bn1"]["bias"], dtype)
-    # Maxpool: the single fused reduce_window WINS on v5e. Both rewrites in
-    # ops/pool.py measured negative (BASELINE.md r2): strided-slice max 888
-    # clips/s (tiled-dim stride-2 slices relayout-copy), exact separable
-    # two-pass reduce_window 1409 vs 1452 (the 112x58-row intermediate's
-    # HBM round-trip costs more than dropping 3 of 9 window taps saves).
-    x = jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-        [(0, 0), (1, 1), (1, 1), (0, 0)],
-    )
+    # Maxpool. XLA-level rewrites in ops/pool.py measured negative
+    # (BASELINE.md r2): strided-slice max 888 clips/s (tiled-dim stride-2
+    # slices relayout-copy), exact separable two-pass reduce_window 1409 vs
+    # 1452 (the 112x58-row intermediate's HBM round-trip costs more than
+    # dropping 3 of 9 window taps saves). pallas_pool runs the pool as a
+    # VMEM kernel instead (lane-folded x-pairs, zero-pad exact on the
+    # post-ReLU input — ops/pallas_pool.py).
+    if pallas_pool:
+        from eov_tpu.ops.pallas_pool import maxpool_3x3_s2_nonneg
+
+        x = maxpool_3x3_s2_nonneg(x, interpret=interpret)
+    else:
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            [(0, 0), (1, 1), (1, 1), (0, 0)],
+        )
 
     p0 = None  # pixels of the first (largest) fused stage
     for i, n_blocks in enumerate(stage_sizes):

@@ -287,3 +287,27 @@ def test_train_fused_stack_fwd_bwd_on_hardware(tpu_backend):
             a, b_ = np.asarray(r[k]), np.asarray(p_[k])
             rel = np.abs(a - b_).max() / (np.abs(a).max() + 1e-9)
             assert rel < 3e-2, (i, k, rel)
+
+
+@requires_tpu
+def test_pallas_maxpool_on_hardware(tpu_backend):
+    """ops/pallas_pool.py: the lane-folded stem maxpool kernel compiles
+    under Mosaic (strided leading-dim indexing + sublane concat) and is
+    bit-identical to reduce_window on hardware, f32 and bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    from eov_tpu.ops.pallas_pool import maxpool_3x3_s2_nonneg
+
+    rng = np.random.default_rng(3)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(
+            np.maximum(rng.normal(size=(2, 16, 24, 64)), 0.0)
+            .astype(np.float32)
+        ).astype(dtype)
+        got = np.asarray(maxpool_3x3_s2_nonneg(x))
+        want = np.asarray(jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            [(0, 0), (1, 1), (1, 1), (0, 0)],
+        ))
+        np.testing.assert_array_equal(got, want)
