@@ -101,8 +101,10 @@ def main() -> None:
     # Images per fused-kernel grid step (op-interleaved chains; measured
     # optimum 2, BASELINE.md r2).
     fgroup = int(os.environ.get("EOV_BENCH_FUSED_GROUP", "2"))
-    # Stem maxpool as a Pallas VMEM kernel (ops/pallas_pool.py).
-    ppool = os.environ.get("EOV_BENCH_PALLAS_POOL", "0") == "1"
+    # Stem maxpool as a Pallas VMEM kernel (ops/pallas_pool.py): "1" =
+    # standalone kernel, "fused" = pooled inside the stage-1 stack entry.
+    ppool_env = os.environ.get("EOV_BENCH_PALLAS_POOL", "0")
+    ppool = "fused" if ppool_env == "fused" else ppool_env == "1"
     cfg = ExtractConfig(
         num_segments=k, arch=arch, scale_size=scale, crop_size=224,
         stem_s2d=s2d, fused_stages=fused, pallas_crop=pcrop,
@@ -119,7 +121,8 @@ def main() -> None:
         "+s2d" if s2d else ""
     ) + (f"+fs{''.join(map(str, fused_resolved))}" if fused_resolved else "") + (
         f"+g{fgroup}" if fgroup > 1 and fused_resolved else ""
-    ) + ("+ppool" if ppool and fused_resolved else "")
+    ) + ("+poolfs" if ppool == "fused" and fused_resolved
+         else "+ppool" if ppool and fused_resolved else "")
     fn = make_feature_fn(params, cfg)
 
     trace_dir = os.environ.get("EOV_BENCH_TRACE")

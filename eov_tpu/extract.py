@@ -79,9 +79,11 @@ class ExtractConfig:
                                    # padded rows are dropped on materialize)
     fault_inject: float = 0.0      # P(decode failure) for failure-path tests
     fault_seed: int = 0
-    pallas_pool: bool = False      # stem maxpool as a Pallas VMEM kernel
+    pallas_pool: bool | str = False  # stem maxpool as a Pallas VMEM kernel
                                    # (ops/pallas_pool.py) instead of XLA
-                                   # reduce_window; fused path only
+                                   # reduce_window; "fused" folds the pool
+                                   # into the stage-1 stack kernel's entry
+                                   # (needs stage 1 fused); fused path only
 
 
 def resolve_fused_stages(

@@ -77,7 +77,7 @@ def folded_feature_apply(
     fused_stages: tuple[int, ...] = (1,),
     fused_group: int = 1,
     stem_s2d: bool = False,
-    pallas_pool: bool = False,
+    pallas_pool: bool | str = False,   # False | True | "fused"
     interpret: bool = False,
 ) -> jax.Array:
     """frames [..., H, W, 3] -> features [..., D]; folded variables only.
@@ -119,10 +119,15 @@ def folded_feature_apply(
     # (BASELINE.md r2): strided-slice max 888 clips/s (tiled-dim stride-2
     # slices relayout-copy), exact separable two-pass reduce_window 1409 vs
     # 1452 (the 112x58-row intermediate's HBM round-trip costs more than
-    # dropping 3 of 9 window taps saves). pallas_pool runs the pool as a
-    # VMEM kernel instead (lane-folded x-pairs, zero-pad exact on the
-    # post-ReLU input — ops/pallas_pool.py).
-    if pallas_pool:
+    # dropping 3 of 9 window taps saves). pallas_pool=True runs the pool
+    # as a VMEM kernel instead (lane-folded x-pairs, zero-pad exact on the
+    # post-ReLU input — ops/pallas_pool.py); pallas_pool="fused" folds the
+    # pool into the stage-1 stack kernel's entry (requires stage 1 fused;
+    # the pooled map never touches HBM).
+    pool_in_stack = pallas_pool == "fused" and 1 in fused_stages
+    if pool_in_stack:
+        pass  # pooled at the fused stage-1 entry below
+    elif pallas_pool:
         from eov_tpu.ops.pallas_pool import maxpool_3x3_s2_nonneg
 
         x = maxpool_3x3_s2_nonneg(x, interpret=interpret)
@@ -149,6 +154,8 @@ def folded_feature_apply(
                 for j in range(j0, n_blocks)
             ]
             n, h, w, c = x.shape
+            if i == 0 and pool_in_stack:
+                h, w = h // 2, w // 2  # the stack pools at its entry
             # Row-normalized grouping: later (smaller-map) stages take
             # proportionally more images per grid step so every grid step
             # keeps ~the same matmul row count — the single-image stage-2
@@ -170,10 +177,19 @@ def folded_feature_apply(
                     stacklevel=2,
                 )
                 g = 1
-            y = fused_bottleneck_stack(
-                x.reshape(n, h * w, c), blocks, h=h, w=w,
-                group=g, interpret=interpret,
-            )
+            if i == 0 and pool_in_stack:
+                from eov_tpu.ops.pallas_bottleneck import (
+                    fused_pool_bottleneck_stack,
+                )
+
+                y = fused_pool_bottleneck_stack(
+                    x, blocks, group=g, interpret=interpret,
+                )
+            else:
+                y = fused_bottleneck_stack(
+                    x.reshape(n, h * w, c), blocks, h=h, w=w,
+                    group=g, interpret=interpret,
+                )
             x = y.reshape(n, h, w, y.shape[-1])
         else:
             for j in range(n_blocks):

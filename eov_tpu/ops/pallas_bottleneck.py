@@ -52,7 +52,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_bottleneck_stack", "pack_bottleneck_params"]
+__all__ = [
+    "fused_bottleneck_stack",
+    "fused_pool_bottleneck_stack",
+    "pack_bottleneck_params",
+]
 
 
 def pack_bottleneck_params(block_tree: Mapping[str, Any]) -> dict:
@@ -78,17 +82,15 @@ def pack_bottleneck_params(block_tree: Mapping[str, Any]) -> dict:
     return out
 
 
-def _stack_kernel(*refs, n_blocks, has_proj, h, w, dtype, group):
-    """One image group through the whole block stack, op-interleaved.
+def _run_chain(xs, refs, out_ref, pad_ref, *, n_blocks, has_proj, h, w,
+               dtype, group):
+    """The op-interleaved block chain over a list of [P, Cin] images.
 
-    refs layout: x_ref [G, P, Cin], (per block: w1,b1,w2,b2,w3,b3[,wd,bd]),
-    out_ref [G, P, Cout], pad_ref [G, B, Cmid]. All per-image chains are
-    data-independent; interleaving them op-by-op exposes VPU/MXU overlap
-    to the scheduler without changing any per-image arithmetic.
+    refs layout (consumed from index 1): per block w1,b1,w2,b2,w3,b3
+    [,wd,bd]. All per-image chains are data-independent; interleaving
+    them op-by-op exposes VPU/MXU overlap to the scheduler without
+    changing any per-image arithmetic.
     """
-    x_ref = refs[0]
-    out_ref = refs[-2]
-    pad_ref = refs[-1]
     p = h * w
     s = w + 1  # write offset inside the padded flat buffer (see module doc)
 
@@ -110,7 +112,6 @@ def _stack_kernel(*refs, n_blocks, has_proj, h, w, dtype, group):
             preferred_element_type=jnp.float32,
         )
 
-    xs = [x_ref[g] for g in range(group)]  # [P, Cin] compute-dtype each
     ri = 1
     for bi in range(n_blocks):
         proj = has_proj[bi]
@@ -158,6 +159,82 @@ def _stack_kernel(*refs, n_blocks, has_proj, h, w, dtype, group):
         out_ref[g] = xs[g]
 
 
+def _stack_kernel(*refs, n_blocks, has_proj, h, w, dtype, group):
+    """One image group through the whole block stack (flat [P, Cin] in)."""
+    xs = [refs[0][g] for g in range(group)]
+    _run_chain(
+        xs, refs, refs[-2], refs[-1], n_blocks=n_blocks, has_proj=has_proj,
+        h=h, w=w, dtype=dtype, group=group,
+    )
+
+
+def _pool_stack_kernel(*refs, n_blocks, has_proj, h, w, c, dtype, group):
+    """Stem maxpool + block stack in one kernel body.
+
+    refs[0] is the PRE-pool stem activation in the lane-folded view
+    [G, 2H, W, 2C] (x-pairs side by side on the lane axis — see
+    ops/pallas_pool.py for why this turns both stride-2 axes into free
+    accesses). Pooling in-kernel saves the pooled map's HBM round trip
+    (write + re-read, 2*P*C bytes/img) vs pool-then-stack.
+    """
+    from eov_tpu.ops.pallas_pool import _shift_down
+
+    xs = []
+    for g in range(group):
+        v = refs[0][g]                       # [2H, W, 2C]
+        even_x = v[:, :, :c]
+        odd_x = v[:, :, c:]
+        # Window taps x in {2j-1, 2j, 2j+1}; zero pad is exact post-ReLU.
+        hmax = jnp.maximum(
+            jnp.maximum(even_x, odd_x), _shift_down(odd_x, axis=1)
+        )                                    # [2H, W, C]
+        pairs = hmax.reshape(h, 2, w, c)     # leading-dim split: layout-free
+        h_odd = pairs[:, 1]
+        pooled = jnp.maximum(
+            jnp.maximum(pairs[:, 0], h_odd), _shift_down(h_odd, axis=0)
+        )                                    # [H, W, C]
+        # Merge (H, W) -> P rows. W is a whole number of sublane tiles
+        # (56 = 7*8), so the merge stacks tiles in their memory order.
+        xs.append(pooled.reshape(h * w, c))
+    _run_chain(
+        xs, refs, refs[-2], refs[-1], n_blocks=n_blocks, has_proj=has_proj,
+        h=h, w=w, dtype=dtype, group=group,
+    )
+
+
+def _flat_params_and_specs(blocks, dtype):
+    """Flatten block params and build their resident VMEM BlockSpecs."""
+    flat_params, in_specs = [], []
+    for b in blocks:
+        names = ("w1", "b1", "w2", "b2", "w3", "b3")
+        if "wd" in b:
+            names += ("wd", "bd")
+        for k in names:
+            arr = b[k]
+            arr = arr.astype(jnp.float32 if k.startswith("b") else dtype)
+            flat_params.append(arr)
+            in_specs.append(
+                pl.BlockSpec(
+                    arr.shape,
+                    # Constant index map: resident across grid steps.
+                    lambda i, nd=arr.ndim: (0,) * nd,
+                    memory_space=pltpu.VMEM,
+                )
+            )
+    return flat_params, in_specs
+
+
+def _stack_flops_per_img(blocks, p, cmid, cout):
+    flops = 0
+    for b in blocks:
+        flops += 2 * p * b["w1"].shape[0] * b["w1"].shape[1]
+        flops += 2 * p * 9 * cmid * cmid
+        flops += 2 * p * cmid * cout
+        if "wd" in b:
+            flops += 2 * p * b["wd"].shape[0] * cout
+    return flops
+
+
 @functools.partial(
     jax.jit, static_argnames=("h", "w", "group", "interpret")
 )
@@ -198,38 +275,15 @@ def fused_bottleneck_stack(
     if not has_proj[0] and cin != cout:
         raise ValueError("first block needs a projection when Cin != Cout")
 
-    flat_params, in_specs = [], [
-        pl.BlockSpec((g, p, cin), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM)
-    ]
-    for b in blocks:
-        names = ("w1", "b1", "w2", "b2", "w3", "b3")
-        if "wd" in b:
-            names += ("wd", "bd")
-        for k in names:
-            arr = b[k]
-            arr = arr.astype(jnp.float32 if k.startswith("b") else dtype)
-            flat_params.append(arr)
-            in_specs.append(
-                pl.BlockSpec(
-                    arr.shape,
-                    # Constant index map: resident across grid steps.
-                    lambda i, nd=arr.ndim: (0,) * nd,
-                    memory_space=pltpu.VMEM,
-                )
-            )
+    flat_params, in_specs = _flat_params_and_specs(blocks, dtype)
+    in_specs.insert(0, pl.BlockSpec((g, p, cin), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM))
 
     kernel = functools.partial(
         _stack_kernel, n_blocks=len(blocks), has_proj=has_proj,
         h=h, w=w, dtype=dtype, group=g,
     )
-    flops_per_img = 0
-    for b in blocks:
-        flops_per_img += 2 * p * b["w1"].shape[0] * b["w1"].shape[1]
-        flops_per_img += 2 * p * 9 * cmid * cmid
-        flops_per_img += 2 * p * cmid * cout
-        if "wd" in b:
-            flops_per_img += 2 * p * b["wd"].shape[0] * cout
+    flops_per_img = _stack_flops_per_img(blocks, p, cmid, cout)
     bytes_io = x.dtype.itemsize * n * p * (cin + cout)
 
     return pl.pallas_call(
@@ -256,3 +310,77 @@ def fused_bottleneck_stack(
         ),
         interpret=interpret,
     )(x, *flat_params)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "interpret")
+)
+def fused_pool_bottleneck_stack(
+    x: jax.Array,                      # [N, 2H, 2W, C] pre-pool NHWC
+    blocks: Sequence[Mapping[str, jax.Array]],  # pack_bottleneck_params
+    *,
+    group: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """Stem 3x3/s2 maxpool + stride-1 bottleneck stack in ONE kernel.
+
+    ``x`` is the post-ReLU (non-negative) stem activation BEFORE the pool;
+    the pool runs in VMEM at the stack entry (ops/pallas_pool.py's
+    lane-folded formulation), so the pooled [H, W, C] map never touches
+    HBM — vs pool-then-stack this saves its write + re-read (2*H*W*C
+    bytes/img) and one kernel dispatch. Returns [N, H*W, Cout].
+    """
+    n, h2, w2, cin = x.shape
+    if h2 % 2 or w2 % 2:
+        raise ValueError(f"even H/W required, got {h2}x{w2}")
+    h, w = h2 // 2, w2 // 2
+    p = h * w
+    g = group if group > 0 and n % group == 0 else 1
+    if group > 1 and g == 1:
+        import warnings
+
+        warnings.warn(
+            f"fused_group={group} does not divide the image count {n}; "
+            "running ungrouped (group=1)", stacklevel=2,
+        )
+    dtype = x.dtype
+    cmid = blocks[0]["w2"].shape[-1]
+    cout = blocks[-1]["w3"].shape[-1]
+    has_proj = tuple("wd" in b for b in blocks)
+    if not has_proj[0] and cin != cout:
+        raise ValueError("first block needs a projection when Cin != Cout")
+
+    xv = x.reshape(n, h2, w, 2 * cin)  # lane-folded x-pairs (row-major free)
+    flat_params, in_specs = _flat_params_and_specs(blocks, dtype)
+    in_specs.insert(
+        0, pl.BlockSpec((g, h2, w, 2 * cin), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(
+        _pool_stack_kernel, n_blocks=len(blocks), has_proj=has_proj,
+        h=h, w=w, c=cin, dtype=dtype, group=g,
+    )
+    flops_per_img = _stack_flops_per_img(blocks, p, cmid, cout) + p * cin * 8
+    bytes_io = x.dtype.itemsize * n * p * (4 * cin + cout)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // g,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((g, p, cout), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, p, cout), dtype),
+        scratch_shapes=[pltpu.VMEM((g, (h + 2) * w + 8, cmid), dtype)],
+        # The pre-pool input block is 4x the pooled one (see
+        # fused_bottleneck_stack's budget note) — keep the raised cap for
+        # every group size here.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n * flops_per_img,
+            bytes_accessed=bytes_io,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xv, *flat_params)

@@ -290,6 +290,63 @@ def test_train_fused_stack_fwd_bwd_on_hardware(tpu_backend):
 
 
 @requires_tpu
+def test_pool_in_stack_on_hardware(tpu_backend):
+    """ops/pallas_bottleneck.py fused_pool_bottleneck_stack compiles under
+    Mosaic (the (H, W)->P sublane-tile merge reshape is the risky op) and
+    equals maxpool -> fused_bottleneck_stack on hardware."""
+    import jax.numpy as jnp
+
+    from eov_tpu.ops.pallas_bottleneck import (
+        fused_bottleneck_stack, fused_pool_bottleneck_stack,
+    )
+
+    rng = np.random.default_rng(5)
+    n, h2, w2, cin, cmid, cout = 2, 16, 16, 64, 64, 128
+    x = jnp.asarray(
+        np.maximum(rng.normal(size=(n, h2, w2, cin)), 0.0).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    def blk(ci, proj):
+        b = {
+            "w1": jnp.asarray(rng.normal(size=(ci, cmid)).astype(np.float32)),
+            "b1": jnp.asarray(rng.normal(size=(1, cmid)).astype(np.float32)),
+            "w2": jnp.asarray(
+                rng.normal(size=(9, cmid, cmid)).astype(np.float32) * 0.1
+            ),
+            "b2": jnp.asarray(rng.normal(size=(1, cmid)).astype(np.float32)),
+            "w3": jnp.asarray(
+                rng.normal(size=(cmid, cout)).astype(np.float32)
+            ),
+            "b3": jnp.asarray(rng.normal(size=(1, cout)).astype(np.float32)),
+        }
+        if proj:
+            b["wd"] = jnp.asarray(
+                rng.normal(size=(ci, cout)).astype(np.float32)
+            )
+            b["bd"] = jnp.asarray(
+                rng.normal(size=(1, cout)).astype(np.float32)
+            )
+        return b
+
+    blocks = [blk(cin, True), blk(cout, False)]
+    import jax
+
+    pooled = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    h, w = h2 // 2, w2 // 2
+    for group in (1, 2):
+        want = np.asarray(fused_bottleneck_stack(
+            pooled.reshape(n, h * w, cin), blocks, h=h, w=w, group=group,
+        ).astype(jnp.float32))
+        got = np.asarray(fused_pool_bottleneck_stack(
+            x, blocks, group=group,
+        ).astype(jnp.float32))
+        np.testing.assert_array_equal(got, want)
+
+
+@requires_tpu
 def test_pallas_maxpool_on_hardware(tpu_backend):
     """ops/pallas_pool.py: the lane-folded stem maxpool kernel compiles
     under Mosaic (strided leading-dim indexing + sublane concat) and is
