@@ -205,6 +205,13 @@ def cmd_extract(args) -> int:
             cfg = _dc.replace(cfg, fused_stages=stages)
     if getattr(args, "fused_group", None) is not None:
         cfg = _dc.replace(cfg, fused_group=args.fused_group)
+    if getattr(args, "pallas_pool", None) is not None:
+        cfg = _dc.replace(
+            cfg,
+            pallas_pool={"off": False, "on": True, "fused": "fused"}[
+                args.pallas_pool
+            ],
+        )
     if args.multichip:
         # Config 5 (pod_extract): DP over all chips of all hosts — mesh from
         # parallel/, per-host record shard, batches padded to mesh-divisible.
@@ -556,6 +563,15 @@ def main(argv=None) -> int:
                        "ratio (e.g. stage 2 runs at 4x) to keep matmul "
                        "rows constant; non-divisible batches run "
                        "ungrouped with a warning",
+           },
+           "--pallas-pool": {
+               "dest": "pallas_pool", "default": None,
+               "choices": ("off", "on", "fused"),
+               "help": "stem maxpool implementation: 'off' = XLA "
+                       "reduce_window (default), 'on' = standalone Pallas "
+                       "kernel (measured negative, BASELINE.md r3), "
+                       "'fused' = pooled inside the fused stage-1 stack "
+                       "entry (requires stage 1 fused)",
            }})
     add(
         "eval", cmd_eval,
