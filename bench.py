@@ -121,8 +121,13 @@ def main() -> None:
         "+s2d" if s2d else ""
     ) + (f"+fs{''.join(map(str, fused_resolved))}" if fused_resolved else "") + (
         f"+g{fgroup}" if fgroup > 1 and fused_resolved else ""
-    ) + ("+poolfs" if ppool == "fused" and fused_resolved
-         else "+ppool" if ppool and fused_resolved else "")
+    ) + (
+        # 'fused' only actually pools in-stack when stage 1 is fused;
+        # otherwise folded_feature_apply falls back to the standalone
+        # kernel — label what ran, not what was asked for.
+        "+poolfs" if ppool == "fused" and 1 in fused_resolved
+        else "+ppool" if ppool and fused_resolved else ""
+    )
     fn = make_feature_fn(params, cfg)
 
     trace_dir = os.environ.get("EOV_BENCH_TRACE")

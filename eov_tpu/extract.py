@@ -338,6 +338,12 @@ def extract_features(
                 known = _probe_clip()
             if pooled and len(clips) == lb:
                 stacked = clips
+                if buf is None:
+                    # Fresh pooled allocation: seed the ring with it (it is
+                    # recycled in _materialize, after the device has
+                    # consumed it) — otherwise _take_buf never has stock
+                    # and every batch re-pays first-touch page faults.
+                    buf = clips
             else:
                 stacked = (
                     np.stack(list(clips)) if len(clips)
@@ -411,7 +417,10 @@ def extract_features(
                 for k, (g_oks, g_clips) in gd.items()
             }
         for g_oks, stacked in groups.values():
-            g_buf = buf if pooled else None
+            # Pooled path: recycle the batch's host buffer once its
+            # features materialize. A fresh allocation (buf None — ring
+            # empty, e.g. the first two overlapped batches) seeds the ring.
+            g_buf = (buf if buf is not None else clips) if pooled else None
             if cfg.pad_batches and len(stacked) < cfg.batch_clips:
                 # Repeat the last clip up to the full batch; _materialize's
                 # zip(records, feats) drops the padded rows.

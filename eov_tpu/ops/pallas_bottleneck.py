@@ -177,22 +177,11 @@ def _pool_stack_kernel(*refs, n_blocks, has_proj, h, w, c, dtype, group):
     accesses). Pooling in-kernel saves the pooled map's HBM round trip
     (write + re-read, 2*P*C bytes/img) vs pool-then-stack.
     """
-    from eov_tpu.ops.pallas_pool import _shift_down
+    from eov_tpu.ops.pallas_pool import pool_lane_folded
 
     xs = []
     for g in range(group):
-        v = refs[0][g]                       # [2H, W, 2C]
-        even_x = v[:, :, :c]
-        odd_x = v[:, :, c:]
-        # Window taps x in {2j-1, 2j, 2j+1}; zero pad is exact post-ReLU.
-        hmax = jnp.maximum(
-            jnp.maximum(even_x, odd_x), _shift_down(odd_x, axis=1)
-        )                                    # [2H, W, C]
-        pairs = hmax.reshape(h, 2, w, c)     # leading-dim split: layout-free
-        h_odd = pairs[:, 1]
-        pooled = jnp.maximum(
-            jnp.maximum(pairs[:, 0], h_odd), _shift_down(h_odd, axis=0)
-        )                                    # [H, W, C]
+        pooled = pool_lane_folded(refs[0][g], c)  # [2H, W, 2C] -> [H, W, C]
         # Merge (H, W) -> P rows. W is a whole number of sublane tiles
         # (56 = 7*8), so the merge stacks tiles in their memory order.
         xs.append(pooled.reshape(h * w, c))

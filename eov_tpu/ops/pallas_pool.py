@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["maxpool_3x3_s2_nonneg"]
+__all__ = ["maxpool_3x3_s2_nonneg", "pool_lane_folded"]
 
 
 def _shift_down(a, axis):
@@ -57,22 +57,34 @@ def _shift_down(a, axis):
     return jnp.where(idx == 0, jnp.zeros_like(rolled), rolled)
 
 
-def _pool_kernel(x_ref, out_ref, *, c):
-    # x_ref: [1, H, W/2, 2C] one image; out_ref: [1, H/2, W/2, C].
-    x = x_ref[0]                       # [H, Wp, 2C]
-    hh, wp, _ = x.shape
-    even_x = x[:, :, :c]               # x = 2j   taps
-    odd_x = x[:, :, c:]                # x = 2j+1 taps
+def pool_lane_folded(v, c):
+    """Lane-folded in-VMEM 3x3/s2 maxpool: [2H, W, 2C] view -> [H, W, C].
+
+    ``v`` is the row-major-free reinterpretation of a non-negative
+    [2H, 2W, C] NHWC image as [2H, W, 2C] (even/odd x-pairs side by side
+    on the lane axis). Shared by the standalone kernel below and the
+    pool-in-stack entry (ops/pallas_bottleneck.py _pool_stack_kernel) so
+    the two paths cannot drift.
+    """
+    hh, wp, _ = v.shape
+    even_x = v[:, :, :c]               # x = 2j   taps
+    odd_x = v[:, :, c:]                # x = 2j+1 taps
     # x = 2j-1 tap: previous pair's odd lane; j=0 window pads with 0.
-    prev_odd = _shift_down(odd_x, axis=1)
-    hmax = jnp.maximum(jnp.maximum(even_x, odd_x), prev_odd)  # [H, Wp, C]
+    hmax = jnp.maximum(
+        jnp.maximum(even_x, odd_x), _shift_down(odd_x, axis=1)
+    )                                  # [2H, W, C]
     # Vertical taps {2i-1, 2i, 2i+1}: split rows into (even, odd) on the
     # leading axis — layout-free — and shift the odd rows down by one.
     pairs = hmax.reshape(hh // 2, 2, wp, c)
-    h_even = pairs[:, 0]               # rows 2i
     h_odd = pairs[:, 1]                # rows 2i+1
-    h_odd_prev = _shift_down(h_odd, axis=0)  # rows 2i-1 (row -1 pads 0)
-    out_ref[0] = jnp.maximum(jnp.maximum(h_even, h_odd), h_odd_prev)
+    return jnp.maximum(                # rows 2i, 2i+1, 2i-1 (pads 0)
+        jnp.maximum(pairs[:, 0], h_odd), _shift_down(h_odd, axis=0)
+    )
+
+
+def _pool_kernel(x_ref, out_ref, *, c):
+    # x_ref: [1, H, W/2, 2C] one image; out_ref: [1, H/2, W/2, C].
+    out_ref[0] = pool_lane_folded(x_ref[0], c)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

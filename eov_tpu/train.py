@@ -170,10 +170,12 @@ def make_train_step(
         raise ValueError(
             "fused_stage1='on' requires partial_bn=True (frozen stage BNs)"
         )
+    # 'auto' keys off the RESOLVED stage-1 decision (not the config
+    # string): fused_stage1='on' + fused_stage2='auto' must still fuse the
+    # stage-2 tail — it measured faster (BASELINE.md r3).
     fuse2 = fuse and (
         cfg.fused_stage2 == "on"
-        or (cfg.fused_stage2 == "auto" and cfg.fused_stage1 == "auto"
-            and jax.default_backend() == "tpu")
+        or (cfg.fused_stage2 == "auto" and jax.default_backend() == "tpu")
     )
     if cfg.fused_stage2 == "on" and not fuse:
         raise ValueError("fused_stage2='on' requires fused_stage1")

@@ -65,6 +65,45 @@ def test_extract_resume_skips_done(tmp_path):
     assert stats2["skipped_done"] == len(ds.records)
 
 
+def test_pooled_buffer_ring_recycles(tmp_path):
+    """The host input-buffer ring must actually cycle: once the first two
+    overlapped batches' buffers materialize and seed it, get_batch receives
+    a preallocated out= buffer, so first-touch page faults are paid ~twice
+    per run, not per batch (the r3 ring was dead — never seeded)."""
+    ds = SyntheticVideoDataset(
+        n_classes=4, clips_per_class=6, height=64, width=80, seed=0,
+        name="ring",
+    )
+    outs = []
+
+    class Pooled:
+        records = ds.records
+        class_names = ds.class_names
+
+        def get_frames(self, rec, idx):
+            return ds.get_frames(rec, idx)
+
+        def get_batch(self, records, idx, out=None):
+            outs.append(out is not None)
+            arrs = np.stack([
+                ds.get_frames(r, i) for r, i in zip(records, idx)
+            ])
+            if out is not None:
+                out[...] = arrs
+                return out
+            return arrs
+
+    store = FeatureStore(str(tmp_path / "ring"), class_names=ds.class_names)
+    cfg = extract.ExtractConfig(num_segments=4, batch_clips=8)
+    stats = extract.extract_features(
+        Pooled(), None, store, cfg, feature_fn=_cheap_feature_fn
+    )
+    assert stats["extracted"] == 24
+    # 3 batches of 8: the ring is necessarily empty for the first two
+    # (their buffers are still in flight — overlap depth 2), stocked after.
+    assert outs == [False, False, True]
+
+
 def test_fault_injection_skips_and_continues(tmp_path):
     ds, store, stats = _extract_to_store(tmp_path, name="f", fault=0.3)
     assert stats["failed"] > 0
