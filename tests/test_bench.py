@@ -31,6 +31,10 @@ def test_bench_schema_and_floor(monkeypatch, capsys):
     # flaked when a tiny CPU throughput landed on a x.xx5 rounding edge).
     assert abs(rec["vs_baseline"] - rec["value"] / 1000.0) < 1e-4
     assert rec["detail"]["median_step_s"] > 0
+    # The spread rail (VERDICT r2 #3): the artifact carries its own band
+    # and the headline value is the median, inside it.
+    d = rec["detail"]
+    assert d["clips_per_sec_min"] <= rec["value"] <= d["clips_per_sec_max"]
     if jax.default_backend() == "tpu":
         assert rec["value"] >= 1000, "TPU throughput floor (BASELINE.json:5)"
 
@@ -45,6 +49,8 @@ def test_bench_eval_schema(monkeypatch, capsys):
     rec = _run_capturing(bench_eval.main, capsys)
     assert rec["metric"] == "oneshot_eval_throughput"
     assert rec["value"] > 0
+    d = rec["detail"]
+    assert d["eps_per_sec_min"] <= rec["value"] <= d["eps_per_sec_max"]
 
 
 def test_bench_train_schema_and_flops_rail(monkeypatch, capsys):
@@ -61,6 +67,7 @@ def test_bench_train_schema_and_flops_rail(monkeypatch, capsys):
     d = rec["detail"]
     assert d["step_tflops_model"] > 0
     assert d["model_tflops_per_s"] >= 0
+    assert d["clips_per_sec_min"] <= rec["value"] <= d["clips_per_sec_max"]
     if d["step_tflops_hlo"] is not None:
         # HLO counts every lax.switch branch + remat recompute, so it can
         # only be >= the single-executed-path model count.
