@@ -104,6 +104,12 @@ def main() -> None:
     # Stem maxpool as a Pallas VMEM kernel (ops/pallas_pool.py): "1" =
     # standalone kernel, "fused" = pooled inside the stage-1 stack entry.
     ppool_env = os.environ.get("EOV_BENCH_PALLAS_POOL", "0")
+    if ppool_env not in ("0", "1", "fused"):
+        raise SystemExit(
+            f"EOV_BENCH_PALLAS_POOL={ppool_env!r}: accepted forms are "
+            "0 (XLA reduce_window), 1 (standalone kernel), fused "
+            "(pooled inside the stage-1 stack entry)"
+        )
     ppool = "fused" if ppool_env == "fused" else ppool_env == "1"
     cfg = ExtractConfig(
         num_segments=k, arch=arch, scale_size=scale, crop_size=224,

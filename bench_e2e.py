@@ -100,14 +100,18 @@ def main() -> None:
         # with a reused buffer (how the loop actually drives the loader).
         t0 = time.perf_counter()
         dec_buf = None
-        for s in range(0, len(recs) - batch + 1, batch):
-            chunk = recs[s : s + batch]
+        # Clamp the chunk size so a run with EOV_E2E_CLIPS < batch still
+        # decodes something (a fixed `batch` stride would execute zero
+        # chunks and report ~0 clips/s).
+        dec_batch = min(batch, len(recs))
+        for s in range(0, len(recs) - dec_batch + 1, dec_batch):
+            chunk = recs[s : s + dec_batch]
             idx = np.stack([
                 np.linspace(0, r.num_frames - 1, k).astype(np.int32)
                 for r in chunk
             ])
             dec_buf = ds.get_batch(chunk, idx, out=dec_buf)
-        decode_only = (len(recs) // batch * batch) / (
+        decode_only = (len(recs) // dec_batch * dec_batch) / (
             time.perf_counter() - t0
         )
     finally:

@@ -22,7 +22,9 @@ TPU-first (BASELINE.json:5,11):
 from __future__ import annotations
 
 import dataclasses
+import inspect
 import logging
+import threading
 from typing import Callable, Sequence
 
 import jax
@@ -110,9 +112,26 @@ def resolve_fused_stages(
 # buffers are munmapped on free (glibc), so a per-batch np.empty pays
 # first-touch page faults every step — measured ~35 MB/s on the dev VM —
 # and production input pipelines want a pinned ring regardless. Keyed by
-# batch shape; grows to the pipeline depth actually used (2-3 buffers per
-# shape), reused across extract_features calls in the same process.
+# batch shape, capped at the pipeline depth actually used so a long-lived
+# process cycling through many batch shapes can't retain unbounded dead
+# buffers; locked so concurrent extract_features calls can't race the
+# per-shape stacks.
 _HOST_BUFS: dict[tuple, list] = {}
+_HOST_BUFS_LOCK = threading.Lock()
+_HOST_BUFS_CAP = 3  # buffers retained per batch shape
+
+
+def _take_buf(shape: tuple):
+    with _HOST_BUFS_LOCK:
+        stack = _HOST_BUFS.get(shape)
+        return stack.pop() if stack else None
+
+
+def _put_buf(buf: np.ndarray) -> None:
+    with _HOST_BUFS_LOCK:
+        stack = _HOST_BUFS.setdefault(buf.shape, [])
+        if len(stack) < _HOST_BUFS_CAP:
+            stack.append(buf)
 
 
 def _center_indices_np(num_frames: int, k: int) -> np.ndarray:
@@ -144,6 +163,17 @@ def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
     fused_stages = resolve_fused_stages(
         cfg.fused_stages, folded=folded, arch=cfg.arch
     )
+    if cfg.pallas_pool and not (folded and fused_stages):
+        # The pool kernels live in the folded fused-stage forward
+        # (models/folded_infer.py); on any other path the setting would
+        # silently bench the default reduce_window as a "Pallas" result.
+        log.warning(
+            "pallas_pool=%r ignored: it requires fold_bn plus a resolved "
+            "fused stage set (fused_stages=%r resolved to %r on %s/%s); "
+            "the stem pool runs as XLA reduce_window",
+            cfg.pallas_pool, cfg.fused_stages, fused_stages, cfg.arch,
+            jax.default_backend(),
+        )
 
     @jax.jit
     def feature_fn(frames_u8: jax.Array) -> jax.Array:
@@ -224,11 +254,6 @@ def extract_features(
     # Host buffer ring (r3, process-wide — see _HOST_BUFS): a batch's
     # buffer is recycled after its FEATURES materialize — by then its
     # host->device transfer is long done.
-    free_bufs = _HOST_BUFS
-
-    def _take_buf(shape):
-        stack = free_bufs.get(shape)
-        return stack.pop() if stack else None
 
     def _materialize(p):
         nonlocal since_flush
@@ -249,11 +274,25 @@ def extract_features(
             store.flush()
             since_flush = 0
         if host_buf is not None:
-            free_bufs.setdefault(host_buf.shape, []).append(host_buf)
+            _put_buf(host_buf)
 
     # Pooled decode fast path (native loader: one multi-threaded call per
     # batch, GIL released); per-record fallback keeps fault containment.
     can_pool = hasattr(dataset, "get_batch") and not cfg.fault_inject
+    # Decide up front whether get_batch takes `out=` (buffer-ring reuse) —
+    # introspection instead of try/except TypeError, which would also
+    # swallow genuine TypeErrors raised INSIDE an out-accepting get_batch
+    # and silently re-decode every batch without the ring.
+    accepts_out = False
+    if can_pool:
+        try:
+            sig = inspect.signature(dataset.get_batch).parameters
+            accepts_out = "out" in sig or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in sig.values()
+            )
+        except (TypeError, ValueError):  # C callables without signatures
+            accepts_out = True  # first call settles it loudly if wrong
 
     def _decode_batch(batch: list[VideoRecord], out_buf=None):
         """Returns (ok_records, clips) — clips is the stacked [B, K, H, W,
@@ -266,9 +305,9 @@ def extract_features(
                     _center_indices_np(r.num_frames, cfg.num_segments)
                     for r in batch
                 ])
-                try:
+                if accepts_out:
                     arr = dataset.get_batch(batch, idx, out=out_buf)
-                except TypeError:  # out-less custom get_batch signature
+                else:  # out-less custom get_batch signature
                     arr = dataset.get_batch(batch, idx)
                 return list(batch), arr
             except Exception as e:  # noqa: BLE001 — fall back per record
@@ -318,7 +357,7 @@ def extract_features(
             oks, clips = _decode_batch(batch, buf) if batch else ([], [])
             pooled = isinstance(clips, np.ndarray)
             if buf is not None and not pooled:
-                free_bufs.setdefault(buf.shape, []).append(buf)  # unused
+                _put_buf(buf)  # unused
             if len(clips):
                 shapes = (
                     {clips.shape[1:]} if pooled else {c.shape for c in clips}
@@ -384,7 +423,7 @@ def extract_features(
         oks, clips = _decode_batch(batch, buf)
         pooled = isinstance(clips, np.ndarray)
         if buf is not None and not pooled:
-            free_bufs.setdefault(buf.shape, []).append(buf)  # unused
+            _put_buf(buf)  # unused
         if len(clips):
             hw = clips[0].shape[1:3] if not pooled else clips.shape[2:4]
             if pooled:

@@ -213,6 +213,26 @@ def _flat_params_and_specs(blocks, dtype):
     return flat_params, in_specs
 
 
+def _resolve_group(group: int, n: int) -> int:
+    """Clamp the op-interleave group to a divisor of the image count.
+
+    Trace-time (not per-step) warning: a benchmark labeled g=N that
+    silently ran ungrouped would misattribute its measurement. Callers
+    going through models/folded_infer.py arrive pre-clamped (it applies
+    row-normalized per-stage scaling first); this guards direct kernel use.
+    """
+    if group > 0 and n % group == 0:
+        return group
+    if group > 1:
+        import warnings
+
+        warnings.warn(
+            f"fused_group={group} does not divide the image count {n}; "
+            "running ungrouped (group=1)", stacklevel=3,
+        )
+    return 1
+
+
 def _stack_flops_per_img(blocks, p, cmid, cout):
     flops = 0
     for b in blocks:
@@ -247,16 +267,7 @@ def fused_bottleneck_stack(
     n, p, cin = x.shape
     if p != h * w:
         raise ValueError(f"x rows {p} != h*w {h * w}")
-    g = group if group > 0 and n % group == 0 else 1
-    if group > 1 and g == 1:
-        # Trace-time (not per-step) warning: a benchmark labeled g=N that
-        # silently ran ungrouped would misattribute its measurement.
-        import warnings
-
-        warnings.warn(
-            f"fused_group={group} does not divide the image count {n}; "
-            "running ungrouped (group=1)", stacklevel=2,
-        )
+    g = _resolve_group(group, n)
     dtype = x.dtype
     cmid = blocks[0]["w2"].shape[-1]
     cout = blocks[-1]["w3"].shape[-1]
@@ -324,14 +335,7 @@ def fused_pool_bottleneck_stack(
         raise ValueError(f"even H/W required, got {h2}x{w2}")
     h, w = h2 // 2, w2 // 2
     p = h * w
-    g = group if group > 0 and n % group == 0 else 1
-    if group > 1 and g == 1:
-        import warnings
-
-        warnings.warn(
-            f"fused_group={group} does not divide the image count {n}; "
-            "running ungrouped (group=1)", stacklevel=2,
-        )
+    g = _resolve_group(group, n)
     dtype = x.dtype
     cmid = blocks[0]["w2"].shape[-1]
     cout = blocks[-1]["w3"].shape[-1]
