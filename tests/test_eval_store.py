@@ -104,6 +104,84 @@ def test_pooled_buffer_ring_recycles(tmp_path):
     assert outs == [False, False, True]
 
 
+def test_buffer_ring_capped_per_shape(tmp_path):
+    """_HOST_BUFS retains at most _HOST_BUFS_CAP buffers per batch shape,
+    so a long-lived process cycling through datasets can't accumulate
+    unbounded dead host memory (review r3)."""
+    shape = (9, 9, 9)  # synthetic key, never collides with real batches
+    extract._HOST_BUFS.pop(shape, None)
+    for _ in range(extract._HOST_BUFS_CAP + 3):
+        extract._put_buf(np.zeros(shape, np.uint8))
+    assert len(extract._HOST_BUFS[shape]) == extract._HOST_BUFS_CAP
+    # take/put round-trips reuse the same storage
+    b = extract._take_buf(shape)
+    assert b is not None and b.shape == shape
+    extract._put_buf(b)
+    assert len(extract._HOST_BUFS[shape]) == extract._HOST_BUFS_CAP
+    extract._HOST_BUFS.pop(shape, None)
+
+
+def test_pooled_outless_get_batch_supported(tmp_path):
+    """A custom get_batch WITHOUT out= still runs pooled — support is
+    decided by signature introspection, never by probing with a call
+    (review r3: except TypeError masked real errors)."""
+    ds = SyntheticVideoDataset(
+        n_classes=2, clips_per_class=4, height=64, width=80, seed=0,
+        name="ol",
+    )
+    calls = []
+
+    class Outless:
+        records = ds.records
+        class_names = ds.class_names
+
+        def get_frames(self, rec, idx):
+            return ds.get_frames(rec, idx)
+
+        def get_batch(self, records, idx):  # no out kwarg
+            calls.append(len(records))
+            return np.stack([
+                ds.get_frames(r, i) for r, i in zip(records, idx)
+            ])
+
+    store = FeatureStore(str(tmp_path / "ol"), class_names=ds.class_names)
+    cfg = extract.ExtractConfig(num_segments=4, batch_clips=4)
+    stats = extract.extract_features(
+        Outless(), None, store, cfg, feature_fn=_cheap_feature_fn
+    )
+    assert stats["extracted"] == 8 and stats["failed"] == 0
+    assert calls == [4, 4]  # pooled path ran, exactly once per batch
+
+
+def test_pooled_internal_typeerror_surfaces(tmp_path, caplog):
+    """A TypeError raised INSIDE an out-accepting get_batch must surface
+    as the loud pooled-decode warning + per-record fallback, not be
+    silently retried as an out-less call (review r3)."""
+    ds = SyntheticVideoDataset(
+        n_classes=2, clips_per_class=3, height=64, width=80, seed=0,
+        name="bug",
+    )
+
+    class Buggy:
+        records = ds.records
+        class_names = ds.class_names
+
+        def get_frames(self, rec, idx):
+            return ds.get_frames(rec, idx)
+
+        def get_batch(self, records, idx, out=None):
+            raise TypeError("internal argtype bug")
+
+    store = FeatureStore(str(tmp_path / "bug"), class_names=ds.class_names)
+    cfg = extract.ExtractConfig(num_segments=4, batch_clips=3)
+    with caplog.at_level("WARNING", logger="eov.extract"):
+        stats = extract.extract_features(
+            Buggy(), None, store, cfg, feature_fn=_cheap_feature_fn
+        )
+    assert stats["extracted"] == 6  # per-record fallback preserved the run
+    assert any("internal argtype bug" in r.message for r in caplog.records)
+
+
 def test_fault_injection_skips_and_continues(tmp_path):
     ds, store, stats = _extract_to_store(tmp_path, name="f", fault=0.3)
     assert stats["failed"] > 0
