@@ -86,6 +86,26 @@ def test_bench_decode_schema(monkeypatch, capsys):
     assert "python_jpeg" in paths and all(v > 0 for v in paths.values())
 
 
+def test_bench_episode_schema(monkeypatch, capsys):
+    """Config-1 latency bench (BASELINE.json:2's third metric axis): one
+    JSON line, median inside its own min/max band. Shrunk to resnet18 +
+    8-frame 128x160 fixtures; the artifact of record keeps the resnet50
+    config-1 defaults."""
+    monkeypatch.setenv("EOV_EPISODE_REPEATS", "2")
+    monkeypatch.setenv("EOV_EPISODE_ARCH", "resnet18")
+    monkeypatch.setenv("EOV_EPISODE_FRAMES", "8")
+    monkeypatch.setenv("EOV_EPISODE_HW", "128x160")
+    sys.path.insert(0, ".")
+    import bench_episode
+
+    rec = _run_capturing(bench_episode.main, capsys)
+    assert rec["metric"] == "oneshot_episode_latency"
+    assert rec["unit"] == "ms/episode"
+    d = rec["detail"]
+    assert d["ms_min"] <= rec["value"] <= d["ms_max"]
+    assert d["clips_per_episode"] == 10 and d["arch"] == "resnet18"
+
+
 def test_bench_flops_rail_never_null(monkeypatch, capsys):
     """VERDICT r1 #3: the artifact of record must be self-verifying —
     step_tflops / effective_tflops_per_s non-null on every backend."""

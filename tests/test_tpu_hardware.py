@@ -237,11 +237,14 @@ def test_grouped_fused_bottleneck_on_hardware(tpu_backend):
     np.testing.assert_array_equal(got, base)
 
 
+@requires_tpu
 def test_train_fused_stack_fwd_bwd_on_hardware(tpu_backend):
     """Compiled train-mode fused stack (ops/pallas_bottleneck_train.py):
     forward and the custom backward (dx + all conv wgrads) match the JAX
     reference on the real chip. Mosaic-compiled vs interpret divergence is
     exactly what this guards (CLAUDE.md: always hardware-test kernels)."""
+    import jax.numpy as jnp
+
     import eov_tpu.ops.pallas_bottleneck_train as bt
 
     rng = np.random.default_rng(11)
