@@ -184,7 +184,8 @@ def cmd_extract(args) -> int:
     preset = get_preset(args.preset)
     dataset = _load_dataset(args)
     params = _load_params(args, preset.extract.compute_dtype)
-    store = FeatureStore(args.store, class_names=list(dataset.class_names))
+    store = FeatureStore(args.store, class_names=list(dataset.class_names),
+                         dtype=getattr(args, "store_dtype", None))
     metrics = MetricsWriter(args.metrics)
 
     cfg, feature_fn, records, mesh = preset.extract, None, None, None
@@ -548,6 +549,13 @@ def main(argv=None) -> int:
 
     add("extract", cmd_extract,
         **{"--store": {"required": True},
+           "--store-dtype": {
+               "dest": "store_dtype", "default": None,
+               "choices": ("float32", "float16"),
+               "help": "on-disk feature dtype (default float32; float16 "
+                       "halves shard bytes — readers upcast to f32, "
+                       "rounding ≪ the 0.5%% accuracy budget)",
+           },
            "--multichip": {"action": "store_true"},
            "--fused-stages": {
                "dest": "fused_stages", "default": None, "metavar": "SPEC",

@@ -55,10 +55,22 @@ class FeatureStore:
     and 0 otherwise, so single-process layouts are unchanged (r1 stores,
     which used ``shard_00000.npz`` names recorded in the manifest, still
     read back fine).
+
+    ``dtype`` is the on-disk feature dtype: ``float32`` (default — the
+    reference's cache precision) or ``float16`` (halves shard bytes and
+    pod store IO; readers always upcast to f32, and at the matcher's
+    scale — L2-normalized 2048-d features, similarity margins ≫ 1e-3 —
+    the ≤2^-11 relative rounding is far inside the 0.5% accuracy budget,
+    asserted by ``tests/test_eval_store.py``). ``None`` inherits the
+    store's existing dtype (or float32 for a fresh store); an explicit
+    dtype that contradicts an existing store raises.
     """
 
+    _DTYPES = ("float32", "float16")
+
     def __init__(self, root: str, class_names: Sequence[str] | None = None,
-                 process_index: int | None = None):
+                 process_index: int | None = None,
+                 dtype: str | None = None):
         self.root = root
         os.makedirs(root, exist_ok=True)
         if process_index is None:
@@ -66,6 +78,10 @@ class FeatureStore:
 
             process_index = jax.process_index()
         self.process_index = int(process_index)
+        if dtype is not None and str(dtype) not in self._DTYPES:
+            raise ValueError(
+                f"store dtype must be one of {self._DTYPES}, got {dtype!r}"
+            )
         self._manifest_path = os.path.join(root, self._manifest_name())
         if os.path.exists(self._manifest_path):
             with open(self._manifest_path) as f:
@@ -80,6 +96,14 @@ class FeatureStore:
             if existing and list(class_names) != existing:
                 raise ValueError("class_names mismatch with existing store")
             self._manifest["class_names"] = list(class_names)
+        prior = self._merged_dtype()
+        if dtype is not None and prior is not None and str(dtype) != prior:
+            raise ValueError(
+                f"store at {root} holds {prior} features; refusing to "
+                f"append {dtype} (one dtype per store)"
+            )
+        self.dtype = np.dtype(str(dtype) if dtype else (prior or "float32"))
+        self._manifest["dtype"] = self.dtype.name
         self._pending: dict[str, tuple[np.ndarray, int]] = {}
         self._shard_count = len(
             glob.glob(os.path.join(root, f"shard_p{self.process_index:03d}_*"))
@@ -93,7 +117,7 @@ class FeatureStore:
 
     def put(self, video_id: str, feature: np.ndarray, label: int) -> None:
         """Stage one clip feature; durable after flush()."""
-        self._pending[video_id] = (np.asarray(feature, np.float32), int(label))
+        self._pending[video_id] = (np.asarray(feature, self.dtype), int(label))
 
     def flush(self) -> str | None:
         """Write pending features as a new shard + atomically update the
@@ -147,6 +171,19 @@ class FeatureStore:
                 names = cn
         return names
 
+    def _merged_dtype(self) -> str | None:
+        """The store's on-disk feature dtype, agreed across writers."""
+        dt: str | None = None
+        for m in self._all_manifests():
+            d = m.get("dtype")
+            if d:
+                if dt is not None and d != dt:
+                    raise ValueError(
+                        f"writers disagree on feature dtype in {self.root}"
+                    )
+                dt = d
+        return dt
+
     def _merged_videos(self) -> dict[str, dict]:
         videos: dict[str, dict] = {}
         for m in self._all_manifests():
@@ -172,7 +209,12 @@ class FeatureStore:
         for shard, vids in by_shard.items():
             with np.load(os.path.join(self.root, shard)) as z:
                 for vid in vids:
-                    out[vid] = (z[vid], int(videos[vid]["label"]))
+                    # Upcast on read: eval always computes in f32 whatever
+                    # the on-disk dtype (float16 stores halve shard bytes).
+                    out[vid] = (
+                        z[vid].astype(np.float32, copy=False),
+                        int(videos[vid]["label"]),
+                    )
         return out
 
     def to_table(self, n_classes: int | None = None) -> FeatureTable:

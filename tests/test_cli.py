@@ -1,0 +1,75 @@
+"""In-process CLI coverage (reference component C13, SURVEY.md §2a).
+
+PARITY.md's C13 row was previously backed only by the verify-skill drive;
+these tests make the CLI surface part of the suite: extract -> eval
+round-trip on the synthetic smoke preset (including the r3 --store-dtype
+flag), plus the presets listing. Subcommands run in-process via
+cli.main(argv) — conftest already pins the CPU platform.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from eov_tpu import cli
+
+
+def _run(capsys, argv):
+    rc = cli.main(argv)
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    return out
+
+
+@pytest.mark.parametrize("store_dtype", ["float32", "float16"])
+def test_cli_extract_then_eval_roundtrip(tmp_path, capsys, store_dtype):
+    store = str(tmp_path / f"feats_{store_dtype}")
+    out = _run(capsys, [
+        "extract", "--platform", "cpu", "--preset", "synthetic_smoke",
+        "--dataset", "synthetic", "--synthetic-classes", "4",
+        "--synthetic-clips", "3", "--arch", "resnet18",
+        "--store", store, "--store-dtype", store_dtype,
+    ])
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["extracted"] == 12 and stats["failed"] == 0
+
+    out = _run(capsys, [
+        "eval", "--platform", "cpu", "--preset", "synthetic_smoke",
+        "--store", store,
+    ])
+    # Reference-format final line: "... accuracy: XX.XX% ± Y.YY%" — parse
+    # the two numbers back out and sanity-check the protocol ran.
+    line = [ln for ln in out.strip().splitlines() if "%" in ln][-1]
+    acc, ci = (float(tok.rstrip("%")) for tok in
+               line.replace("±", " ").split() if tok.rstrip("%")
+               .replace(".", "", 1).isdigit())
+    assert 0.0 <= acc <= 100.0 and 0.0 <= ci < 50.0
+
+
+def test_cli_eval_accuracy_identical_across_store_dtypes(
+    tmp_path, capsys
+):
+    """float16 features must not move the reported accuracy (C6 r3 —
+    matcher margins ≫ f16 rounding on the synthetic protocol)."""
+    lines = {}
+    for dt in ("float32", "float16"):
+        store = str(tmp_path / dt)
+        _run(capsys, [
+            "extract", "--platform", "cpu", "--preset", "synthetic_smoke",
+            "--dataset", "synthetic", "--synthetic-classes", "4",
+            "--synthetic-clips", "3", "--arch", "resnet18",
+            "--store", store, "--store-dtype", dt,
+        ])
+        out = _run(capsys, [
+            "eval", "--platform", "cpu", "--preset", "synthetic_smoke",
+            "--store", store,
+        ])
+        lines[dt] = [ln for ln in out.strip().splitlines() if "%" in ln][-1]
+    assert lines["float32"] == lines["float16"], lines
+
+
+def test_cli_presets_lists_baseline_configs(capsys):
+    out = _run(capsys, ["presets"])
+    for name in ("synthetic_smoke", "kinetics_5shot"):
+        assert name in out

@@ -207,6 +207,53 @@ def test_eval_separable_features_high_accuracy(tmp_path):
     np.testing.assert_array_equal(res.per_episode, res2.per_episode)
 
 
+def test_store_float16_dtype_roundtrip_and_eval_parity(tmp_path):
+    """float16 store option (pod store-IO halving): shards shrink ~2x,
+    reads upcast to f32, reopen inherits the dtype, mixing dtypes raises,
+    and the episodic protocol scores IDENTICALLY to the f32 store — the
+    ≤2^-11 relative rounding is far inside the matcher's margins (the
+    0.5% budget, BASELINE.json:5)."""
+    import glob
+    import os
+
+    ds = SyntheticVideoDataset(n_classes=8, clips_per_class=8, height=64,
+                               width=80, seed=0, name="h")
+    cfg = extract.ExtractConfig(num_segments=4, batch_clips=8,
+                                deterministic=True)
+    stores = {}
+    for dt in ("float32", "float16"):
+        st = FeatureStore(str(tmp_path / dt), class_names=ds.class_names,
+                          dtype=dt)
+        extract.extract_features(ds, None, st, cfg,
+                                 feature_fn=_cheap_feature_fn)
+        stores[dt] = st
+
+    def shard_bytes(root):
+        return sum(os.path.getsize(p)
+                   for p in glob.glob(os.path.join(root, "shard_*.npz")))
+
+    assert shard_bytes(stores["float16"].root) < 0.6 * shard_bytes(
+        stores["float32"].root)
+
+    data16 = stores["float16"].load_all()
+    data32 = stores["float32"].load_all()
+    for vid, (f32, label) in data32.items():
+        f16, label16 = data16[vid]
+        assert f16.dtype == np.float32 and label16 == label  # upcast on read
+        np.testing.assert_allclose(f16, f32, rtol=2e-3, atol=1e-4)
+
+    # Reopen inherits float16; an explicit contradiction refuses.
+    assert FeatureStore(str(tmp_path / "float16")).dtype == np.float16
+    with pytest.raises(ValueError, match="one dtype per store"):
+        FeatureStore(str(tmp_path / "float16"), dtype="float32")
+
+    ecfg = eov_eval.EvalConfig(n_way=5, n_episodes=120, episodes_per_step=40,
+                               n_query=2, seed=3)
+    res32 = eov_eval.evaluate(stores["float32"].to_table(), ecfg)
+    res16 = eov_eval.evaluate(stores["float16"].to_table(), ecfg)
+    np.testing.assert_array_equal(res32.per_episode, res16.per_episode)
+
+
 def test_eval_random_features_chance_accuracy(tmp_path):
     rng = np.random.default_rng(0)
     feats = jnp.asarray(rng.standard_normal((10, 6, 32)).astype(np.float32))
