@@ -368,6 +368,7 @@ def cmd_train(args) -> int:
     dataset = _load_dataset(args)
     cfg = eov_train.TrainConfig(
         num_classes=len(dataset.class_names),
+        arch=args.arch or "resnet50",
         num_segments=args.num_segments or 3,
         batch_clips=args.batch or 8,
         lr=args.lr or 0.001,
@@ -444,6 +445,7 @@ def cmd_test(args) -> int:
     dataset = _load_dataset(args)
     cfg = eov_train.TrainConfig(
         num_classes=len(dataset.class_names),
+        arch=args.arch or "resnet50",
         num_segments=args.num_segments or 8,
         batch_clips=args.batch or 8,
     )

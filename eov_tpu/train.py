@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from eov_tpu.models.resnet import ResNet50
+from eov_tpu.models import get_arch
 from eov_tpu.ops import preprocess
 from eov_tpu.parallel.mesh import DATA_AXIS, FRAME_AXIS
 
@@ -34,6 +34,9 @@ __all__ = ["TrainConfig", "TrainState", "create_train_state", "make_train_step",
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     num_classes: int = 64             # Kinetics-100 CMN meta-train classes
+    arch: str = "resnet50"            # backbone (models.ARCHS — the whole
+                                      # family finetunes; the fused stacks
+                                      # below engage on bottleneck archs)
     num_segments: int = 3             # TSN train-time K
     batch_clips: int = 32             # global batch
     lr: float = 0.001
@@ -114,7 +117,7 @@ def _make_tx(cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def _model(cfg: TrainConfig):
-    return ResNet50(
+    return get_arch(cfg.arch)[0](
         num_classes=cfg.num_classes,
         dtype=jnp.dtype(cfg.compute_dtype),
         use_running_average=False,
@@ -160,15 +163,23 @@ def make_train_step(
 
     # Resolve the fused-stage-1 train path (custom-VJP Pallas stack).
     # Requirements: partial_bn (frozen stage BNs = constant affines) and a
-    # bottleneck arch (the TrainConfig path is ResNet-50).
+    # bottleneck arch — the stack's stage-1/2 shapes are shared by
+    # resnet50/101/152 (stage depths come from models.ARCHS below); basic-
+    # block archs (18/34) run the plain flax path.
+    bottleneck = get_arch(cfg.arch)[2]
     fuse = cfg.fused_stage1 == "on" or (
         cfg.fused_stage1 == "auto"
         and cfg.partial_bn
+        and bottleneck
         and jax.default_backend() == "tpu"
     )
     if fuse and not cfg.partial_bn:
         raise ValueError(
             "fused_stage1='on' requires partial_bn=True (frozen stage BNs)"
+        )
+    if fuse and not bottleneck:
+        raise ValueError(
+            f"fused_stage1='on' requires a bottleneck arch, got {cfg.arch}"
         )
     # 'auto' keys off the RESOLVED stage-1 decision (not the config
     # string): fused_stage1='on' + fused_stage2='auto' must still fuse the
@@ -188,7 +199,7 @@ def make_train_step(
         )
 
         on_tpu = jax.default_backend() == "tpu"
-        sizes = (3, 4, 6, 3)  # the TrainConfig path is ResNet-50
+        sizes = get_arch(cfg.arch)[1]  # stage depths (e.g. 50: (3,4,6,3))
         cdt = jnp.dtype(cfg.compute_dtype)
         stem = ResNetStem(dtype=cdt)
         mid = (
@@ -323,7 +334,7 @@ def evaluate_classifier(
 
     from eov_tpu.data import segments as seg  # noqa: F401 (host mirror below)
 
-    model = ResNet50(
+    model = get_arch(cfg.arch)[0](
         num_classes=cfg.num_classes,
         dtype=jnp.dtype(cfg.compute_dtype),
         use_running_average=True,

@@ -154,10 +154,10 @@ def test_reference_forward_matches_flax_block():
                                rtol=2e-4, atol=2e-4)
 
 
-def _train_fixture():
+def _train_fixture(arch="resnet50"):
     base = dict(num_classes=4, num_segments=2, batch_clips=2,
                 compute_dtype="float32", scale_size=36, crop_size=32,
-                dropout=0.0, partial_bn=True, lr=0.01)
+                dropout=0.0, partial_bn=True, lr=0.01, arch=arch)
     cfg_ref = tr.TrainConfig(fused_stage1="off", **base)
     cfg_fus = tr.TrainConfig(fused_stage1="on", **base)
     state = tr.create_train_state(
@@ -258,3 +258,36 @@ def test_fused_requires_partial_bn():
         tr.make_train_step(
             tr.TrainConfig(partial_bn=False, fused_stage1="on"),
         )
+
+
+def test_fused_requires_bottleneck_arch():
+    """Basic-block archs have no bottleneck stacks to fuse: 'auto'
+    resolves off silently, 'on' refuses loudly (r3 family-generic
+    TrainConfig.arch)."""
+    with pytest.raises(ValueError, match="bottleneck"):
+        tr.make_train_step(
+            tr.TrainConfig(arch="resnet18", fused_stage1="on"),
+        )
+    # auto on a basic arch builds the plain path without error
+    tr.make_train_step(
+        tr.TrainConfig(arch="resnet34", num_classes=4, num_segments=2,
+                       batch_clips=2, scale_size=36, crop_size=32),
+        donate=False,
+    )
+
+
+def test_fused_train_step_matches_monolith_resnet101():
+    """The fused stacks are stage-depth generic (r3): resnet101 shares
+    resnet50's stage-1/2 geometry, only depths differ — fused step ==
+    monolith on the 101 family member too (f32, stage-2 tail engaged)."""
+    cfg_ref, cfg_fus, state, frames, labels = _train_fixture("resnet101")
+    cfg_fus = dataclasses.replace(cfg_fus, fused_stage2="on")
+    step_ref = tr.make_train_step(cfg_ref, donate=False)
+    step_fus = tr.make_train_step(cfg_fus, donate=False)
+    s1, m1 = step_ref(state, frames, labels, jax.random.PRNGKey(5))
+    s2, m2 = step_fus(state, frames, labels, jax.random.PRNGKey(5))
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+    mx = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params
+    )))
+    assert mx < 1e-4, f"param divergence {mx}"
