@@ -125,6 +125,33 @@ def _load_dataset(args):
     raise SystemExit(f"unknown dataset {args.dataset}")
 
 
+def _resolve_ckpt_dir(path: str, select: str = "latest") -> str:
+    """Resolve a train-run directory to one epoch's checkpoint dir.
+
+    ``latest`` (default) picks the newest ``step_N`` dir — or the path
+    itself when it is already a single checkpoint. ``best`` reads the
+    run's ``best.json`` (written by ``eov train --val-class-split``: the
+    epoch with the highest META-VAL one-shot accuracy, the reference
+    lineage's model-selection rule) and refuses loudly when the run was
+    trained without validation.
+    """
+    from eov_tpu.utils.checkpoint import latest_step_dir
+
+    if not os.path.isdir(path):
+        return path
+    if select == "best":
+        bj = os.path.join(path, "best.json")
+        if not os.path.exists(bj):
+            raise SystemExit(
+                f"--select best: no best.json under {path} — train with "
+                "--val-class-split to record per-epoch meta-val accuracy"
+            )
+        with open(bj) as f:
+            doc = json.load(f)
+        return os.path.join(path, doc["dir"])
+    return latest_step_dir(path) or path
+
+
 def _load_params(args, dtype_str: str):
     import jax
     import jax.numpy as jnp
@@ -152,7 +179,10 @@ def _load_params(args, dtype_str: str):
             )
         from eov_tpu.utils.checkpoint import load_pytree
 
-        tree = load_pytree(args.params)
+        path = _resolve_ckpt_dir(
+            args.params, getattr(args, "select", None) or "latest"
+        )
+        tree = load_pytree(path)
         # Train checkpoints also carry step/opt_state; the model apply only
         # takes variable collections.
         return {k: v for k, v in tree.items()
@@ -249,6 +279,8 @@ def cmd_eval(args) -> int:
     _setup_platform(args)
     import dataclasses
 
+    import numpy as np
+
     if args.multichip:
         from eov_tpu.parallel import distributed as dist
 
@@ -296,6 +328,24 @@ def cmd_eval(args) -> int:
         res = evaluate(table, cfg, virtual=virtual)
     metrics.write("eval_result", mean_acc=res.mean_acc, ci95=res.ci95,
                   n_episodes=len(res.per_episode))
+    if getattr(args, "per_episode_out", None):
+        # Per-episode accuracies for PAIRED protocol comparisons
+        # (tools/compare_eval.py): the canonical ordinal protocol makes
+        # episode g a pure function of (seed, protocol, table shape), so
+        # two runs over the same store with the same seed/protocol score
+        # the IDENTICAL episode sequence — e.g. plain vs --embodied, or
+        # cosine vs euclidean — and can be compared episode-by-episode.
+        doc = {
+            "config": resolved_dict(cfg),
+            "store": args.store,
+            "counts": [int(c) for c in np.asarray(table.counts)],
+            "mean_acc": res.mean_acc,
+            "ci95": res.ci95,
+            "per_episode": [float(a) for a in res.per_episode],
+        }
+        with open(args.per_episode_out, "w") as f:
+            json.dump(doc, f)
+        print(f"per-episode accuracies -> {args.per_episode_out}")
     print(res)  # "accuracy: MM.MM% +/- C.CC%" — reference-compatible line
     return 0
 
@@ -372,7 +422,19 @@ def cmd_train(args) -> int:
         num_segments=args.num_segments or 3,
         batch_clips=args.batch or 8,
         lr=args.lr or 0.001,
+        scale_size=args.scale_size or 256,
+        crop_size=args.crop_size or 224,
     )
+    # Meta-val dataset for per-epoch one-shot model selection (the
+    # reference lineage's rule): same dataset source, the val class
+    # partition — disjoint classes from the meta-train ones above.
+    val_dataset = None
+    if getattr(args, "val_class_split", None):
+        spec = args.val_class_split
+        if ":" not in spec:
+            spec += ":val"  # _load_dataset's bare-spec default is 'test'
+        vargs = argparse.Namespace(**{**vars(args), "class_split": spec})
+        val_dataset = _load_dataset(vargs)
     import os
 
     from eov_tpu.utils.checkpoint import latest_step_dir, load_pytree
@@ -416,6 +478,13 @@ def cmd_train(args) -> int:
             start_epoch = int(os.path.basename(last).split("_")[1]) + 1
             print(f"resumed from {last} (epoch {start_epoch})")
     step_fn = eov_train.make_train_step(cfg, mesh)
+    # Resume best-so-far tracking alongside the checkpoint resume above.
+    best = None  # (val_acc, ci95, epoch)
+    best_path = os.path.join(args.out, "best.json") if args.out else None
+    if best_path and os.path.exists(best_path):
+        with open(best_path) as f:
+            doc = json.load(f)
+        best = (doc["val_acc"], doc["ci95"], doc["epoch"])
     for epoch in range(start_epoch, args.epochs):
         state, m = eov_train.train_epoch_synthetic(
             state, step_fn, cfg, dataset, epoch=epoch
@@ -428,8 +497,37 @@ def cmd_train(args) -> int:
                 {"params": state.params, "batch_stats": state.batch_stats,
                  "step": state.step, "opt_state": state.opt_state},
             )
+        if val_dataset is not None:
+            res = eov_train.one_shot_validate(
+                state, cfg, val_dataset,
+                n_way=args.val_n_way or 5,
+                n_episodes=args.val_episodes or 120,
+                num_segments=args.val_segments or 8,
+                seed=cfg.seed,
+            )
+            metrics.write(
+                "val", epoch=epoch, val_acc=res.mean_acc, ci95=res.ci95,
+                n_episodes=args.val_episodes or 120,
+            )
+            print(f"epoch {epoch} meta-val one-shot {res}")
+            if best is None or res.mean_acc > best[0]:
+                best = (res.mean_acc, res.ci95, epoch)
+                if best_path:
+                    tmp = best_path + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump({"epoch": epoch,
+                                   "val_acc": res.mean_acc,
+                                   "ci95": res.ci95,
+                                   "dir": f"step_{epoch}"}, f)
+                    os.replace(tmp, best_path)  # atomic (pod-safe)
     if args.out:
         print(f"saved checkpoints under: {args.out}")
+        if best is not None:
+            print(
+                f"best meta-val epoch {best[2]}: "
+                f"{best[0] * 100:.2f}% +/- {best[1] * 100:.2f}% "
+                f"(best.json; use --select best on test/extract)"
+            )
     return 0
 
 
@@ -439,7 +537,7 @@ def cmd_test(args) -> int:
     import jax
 
     from eov_tpu import train as eov_train
-    from eov_tpu.utils.checkpoint import latest_step_dir, load_pytree
+    from eov_tpu.utils.checkpoint import load_pytree
     from eov_tpu.utils.metrics import MetricsWriter
 
     dataset = _load_dataset(args)
@@ -448,10 +546,14 @@ def cmd_test(args) -> int:
         arch=args.arch or "resnet50",
         num_segments=args.num_segments or 8,
         batch_clips=args.batch or 8,
+        scale_size=args.scale_size or 256,
+        crop_size=args.crop_size or 224,
     )
     state = eov_train.create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
     if args.params:
-        path = latest_step_dir(args.params) or args.params
+        path = _resolve_ckpt_dir(
+            args.params, getattr(args, "select", None) or "latest"
+        )
         restored = load_pytree(
             path,
             template={"params": state.params,
@@ -551,6 +653,11 @@ def main(argv=None) -> int:
 
     add("extract", cmd_extract,
         **{"--store": {"required": True},
+           "--select": {
+               "choices": ("latest", "best"), "default": "latest",
+               "help": "when --params is a train-run dir: newest epoch "
+                       "checkpoint, or best.json's meta-val winner",
+           },
            "--store-dtype": {
                "dest": "store_dtype", "default": None,
                "choices": ("float32", "float16"),
@@ -597,6 +704,13 @@ def main(argv=None) -> int:
             "--fusion": {"choices": ["max", "mean"]},
             "--matcher": {"choices": ["auto", "xla", "pallas"]},
             "--multichip": {"action": "store_true"},
+            "--per-episode-out": {
+                "dest": "per_episode_out", "default": None, "metavar": "FILE",
+                "help": "dump per-episode accuracies + protocol as JSON "
+                        "for paired comparisons (tools/compare_eval.py): "
+                        "same store+seed+protocol scores the identical "
+                        "episode sequence (canonical ordinal sampling)",
+            },
         },
     )
     add("episode", cmd_episode, **{"--n-way": {"type": int, "dest": "n_way"}})
@@ -607,8 +721,32 @@ def main(argv=None) -> int:
             "--batch": {"type": int},
             "--lr": {"type": float},
             "--num-segments": {"type": int, "dest": "num_segments"},
+            "--scale-size": {"type": int, "dest": "scale_size"},
+            "--crop-size": {"type": int, "dest": "crop_size"},
             "--out": {"default": None},
             "--multichip": {"action": "store_true"},
+            "--val-class-split": {
+                "dest": "val_class_split", "default": None,
+                "metavar": "JSON[:part]",
+                "help": "meta-val class split (default part 'val'): score "
+                        "each epoch by one-shot episodic accuracy on these "
+                        "held-out classes and record the best checkpoint "
+                        "in best.json (reference model-selection rule)",
+            },
+            "--val-episodes": {
+                "type": int, "dest": "val_episodes", "default": None,
+                "help": "episodes per meta-val pass (default 120)",
+            },
+            "--val-n-way": {
+                "type": int, "dest": "val_n_way", "default": None,
+                "help": "n-way of the meta-val episodes (default 5)",
+            },
+            "--val-segments": {
+                "type": int, "dest": "val_segments", "default": None,
+                "help": "eval-time TSN K for the meta-val features "
+                        "(default 8 — the eval protocol's K, independent "
+                        "of the train-time --num-segments)",
+            },
         },
     )
     add(
@@ -616,6 +754,13 @@ def main(argv=None) -> int:
         **{
             "--batch": {"type": int},
             "--num-segments": {"type": int, "dest": "num_segments"},
+            "--scale-size": {"type": int, "dest": "scale_size"},
+            "--crop-size": {"type": int, "dest": "crop_size"},
+            "--select": {
+                "choices": ("latest", "best"), "default": "latest",
+                "help": "which checkpoint to take from a train-run dir: "
+                        "newest epoch, or best.json's meta-val winner",
+            },
         },
     )
     add("fixtures", cmd_fixtures)

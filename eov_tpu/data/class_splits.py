@@ -144,16 +144,38 @@ class _ClassFilteredDataset:
             for r in base.records
             if r.label in remap
         ]
+        # Expose a pooled get_batch ONLY when the base has one: consumers
+        # feature-detect with hasattr (extract.py's can_pool), and a
+        # class-level method that raises at call time would make every
+        # batch pay a failed pooled attempt + warning before the
+        # per-record fallback. The wrapper also mirrors the base's `out=`
+        # support in its own signature — extract.py introspects for it,
+        # and advertising `out=` over an out-less base would turn every
+        # pooled call into a TypeError + per-record retry.
+        if hasattr(base, "get_batch"):
+            import inspect
+
+            try:
+                sig = inspect.signature(base.get_batch).parameters
+                base_out = "out" in sig or any(
+                    p.kind is inspect.Parameter.VAR_KEYWORD
+                    for p in sig.values()
+                )
+            except (TypeError, ValueError):  # C callables w/o signatures
+                base_out = True
+            self.get_batch = (
+                self._pooled_get_batch if base_out
+                else self._pooled_get_batch_no_out
+            )
 
     def get_frames(self, record, indices):
         return self._base.get_frames(record, indices)
 
-    def get_batch(self, records, indices, out=None):
-        if hasattr(self._base, "get_batch"):
-            if out is None:  # keep working with out-less base signatures
-                return self._base.get_batch(records, indices)
-            return self._base.get_batch(records, indices, out=out)
-        raise AttributeError("base dataset has no pooled get_batch")
+    def _pooled_get_batch(self, records, indices, out=None):
+        return self._base.get_batch(records, indices, out=out)
+
+    def _pooled_get_batch_no_out(self, records, indices):
+        return self._base.get_batch(records, indices)
 
 
 def filter_dataset_by_classes(dataset, keep: Sequence[str]):

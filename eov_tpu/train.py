@@ -28,7 +28,7 @@ from eov_tpu.ops import preprocess
 from eov_tpu.parallel.mesh import DATA_AXIS, FRAME_AXIS
 
 __all__ = ["TrainConfig", "TrainState", "create_train_state", "make_train_step",
-           "train_epoch_synthetic", "evaluate_classifier"]
+           "train_epoch_synthetic", "evaluate_classifier", "one_shot_validate"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -382,6 +382,69 @@ def evaluate_classifier(
             correct += int((preds == np.asarray(labels)).sum())
             total += len(labels)
     return {"top1": correct / max(total, 1), "n": total}
+
+
+def one_shot_validate(
+    state: TrainState,
+    cfg: TrainConfig,
+    dataset,
+    *,
+    n_way: int = 5,
+    k_shot: int = 1,
+    n_query: int = 1,
+    n_episodes: int = 120,
+    num_segments: int = 8,
+    batch_clips: int | None = None,
+    seed: int = 0,
+):
+    """META-VAL one-shot accuracy of the current finetune state.
+
+    The reference lineage's model-selection rule (SURVEY.md §2a C12 + C7-C10;
+    CMN-style protocol): finetune the backbone on the META-TRAIN classes,
+    score each epoch's checkpoint by episodic one-shot accuracy on the
+    disjoint META-VAL classes, and report meta-test with the best one. This
+    runs the full inference path on ``dataset`` (which should be the
+    meta-val class subset): eval-time center TSN sampling with
+    ``num_segments`` (the eval-protocol K, not the train-time K), BN-folded
+    inference backbone with the state's current params/stats, the seeded
+    canonical episode protocol — and returns the ``EvalResult``.
+
+    Each call traces a fresh feature program closed over the current params
+    (one retrace per epoch — amortized over the whole epoch, and the eval
+    program itself re-traces only if the table shape changes). Features go
+    through a throwaway on-disk store so the path exercised is exactly the
+    production extract->table->evaluate chain. In a multi-controller run
+    every process computes the same (deterministic) result independently.
+    """
+    import tempfile
+
+    from eov_tpu import eval as eov_eval
+    from eov_tpu.data.store import FeatureStore
+    from eov_tpu.extract import ExtractConfig, extract_features
+
+    ecfg = ExtractConfig(
+        num_segments=num_segments,
+        arch=cfg.arch,
+        batch_clips=batch_clips or cfg.batch_clips,
+        scale_size=cfg.scale_size,
+        crop_size=cfg.crop_size,
+        compute_dtype=cfg.compute_dtype,
+        deterministic=True,
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    with tempfile.TemporaryDirectory() as tmp:
+        store = FeatureStore(tmp, class_names=list(dataset.class_names))
+        extract_features(dataset, variables, store, ecfg)
+        table = store.to_table(n_classes=len(dataset.class_names))
+    evc = eov_eval.EvalConfig(
+        n_way=n_way,
+        k_shot=k_shot,
+        n_query=n_query,
+        n_episodes=n_episodes,
+        episodes_per_step=min(64, n_episodes),
+        seed=seed,
+    )
+    return eov_eval.evaluate(table, evc)
 
 
 def train_epoch_synthetic(

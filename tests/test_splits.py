@@ -87,6 +87,63 @@ def test_filter_dataset_by_classes_wrapper():
     assert frames.shape == (2, 40, 48, 3)
 
 
+def test_filter_dataset_pooled_get_batch_mirrors_base():
+    """The wrapper's pooled fast path must match what the base actually
+    offers: no get_batch -> no attribute (extract.py feature-detects with
+    hasattr, and a raising method = a failed pooled attempt + warning per
+    batch); out-less base -> out-less wrapper signature (extract.py
+    introspects for `out=`, and advertising it over an out-less base
+    TypeErrors every pooled call); out-accepting base -> out passes through.
+    """
+    import inspect
+
+    import numpy as np
+
+    from eov_tpu.data.datasets import SyntheticVideoDataset
+
+    ds = SyntheticVideoDataset(n_classes=3, clips_per_class=2, seed=0,
+                               height=40, width=48)
+    keep = ds.class_names[:2]
+
+    # 1. Base without get_batch (SyntheticVideoDataset): hidden.
+    assert not hasattr(ds, "get_batch")
+    assert not hasattr(cs.filter_dataset_by_classes(ds, keep), "get_batch")
+
+    calls = {}
+
+    # 2. Out-less base: wrapper signature must not advertise out.
+    class OutLess:
+        class_names = ds.class_names
+        records = ds.records
+        get_frames = ds.get_frames
+
+        def get_batch(self, records, indices):
+            calls["outless"] = True
+            return np.zeros((len(records), 2, 4, 4, 3), np.uint8)
+
+    w = cs.filter_dataset_by_classes(OutLess(), keep)
+    sig = inspect.signature(w.get_batch).parameters
+    assert "out" not in sig
+    w.get_batch(w.records[:1], np.zeros((1, 2), np.int64))
+    assert calls["outless"]
+
+    # 3. Out-accepting base: out passes through.
+    class WithOut:
+        class_names = ds.class_names
+        records = ds.records
+        get_frames = ds.get_frames
+
+        def get_batch(self, records, indices, out=None):
+            calls["out"] = out
+            return out
+
+    w = cs.filter_dataset_by_classes(WithOut(), keep)
+    assert "out" in inspect.signature(w.get_batch).parameters
+    buf = np.zeros((1, 2, 4, 4, 3), np.uint8)
+    w.get_batch(w.records[:1], np.zeros((1, 2), np.int64), out=buf)
+    assert calls["out"] is buf
+
+
 def test_cli_presets_and_class_split_parse(capsys):
     """CLI surface: presets listing and class-split filtered synthetic load."""
     import json
