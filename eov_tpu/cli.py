@@ -104,6 +104,23 @@ def _load_dataset(args):
         return class_filtered(
             datasets.EovcVideoDataset(args.root, class_names=names)
         )
+    if args.dataset == "videodir":
+        # Source video files directly (C14 online path): root/<class>/<vid>,
+        # or --split lists of (relative path, num_frames, label) where
+        # num_frames <= 0 probes the container.
+        if not args.root:
+            raise SystemExit("--root required for videodir")
+        split = names = None
+        if args.split:
+            if args.split.endswith(".json"):
+                meta = datasets.load_split_json(args.split)
+                split = meta["splits"][args.split_name]
+                names = meta["class_names"]
+            else:
+                split = datasets.load_split_txt(args.split)
+        return class_filtered(
+            datasets.VideoFileDataset(args.root, split, names)
+        )
     if args.dataset == "framedir":
         if not (args.root and args.split):
             raise SystemExit("--root and --split required for framedir")
@@ -631,7 +648,7 @@ def main(argv=None) -> int:
         _add_common(p)
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--dataset", default="synthetic",
-                       choices=["synthetic", "framedir", "eovc"])
+                       choices=["synthetic", "framedir", "videodir", "eovc"])
         p.add_argument("--root", default=None)
         p.add_argument("--split", default=None)
         p.add_argument("--split-name", default="all")

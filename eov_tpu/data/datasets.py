@@ -27,6 +27,7 @@ __all__ = [
     "VideoDataset",
     "SyntheticVideoDataset",
     "FrameFolderDataset",
+    "VideoFileDataset",
     "load_split_txt",
     "save_split_txt",
     "load_split_json",
@@ -106,6 +107,128 @@ class SyntheticVideoDataset:
         )
         clip = render(c, j, record.num_frames, self.height, self.width)
         return clip[np.asarray(indices)]
+
+
+class VideoFileDataset:
+    """VideoDataset directly over source video FILES (mp4/avi/...), cv2.
+
+    Capability parity: the reference requires an OFFLINE ffmpeg pass
+    (SURVEY.md §2a C14) turning videos into frame folders before anything
+    runs; this dataset removes the staging requirement — extraction and
+    `tools/pack_eovc` read the source videos directly (the SURVEY §2b N4
+    "online, not offline" note; cv2's bundled ffmpeg is this env's decoder,
+    no system ffmpeg exists).
+
+    Layout: ``root/<class_name>/<video>.<ext>`` with classes = sorted
+    subdirectory names, or an explicit split list of
+    ``(relative_path, num_frames, label)`` (num_frames <= 0 probes the
+    container). Frame indexing is sequential-``grab`` based — exact and
+    container-independent, where ``CAP_PROP_POS_FRAMES`` seeking is
+    codec-dependent — so reading K spread TSN indices costs about one
+    decode of the clip up to the last index. That is the honest cost of
+    working from videos; this dataset is the onramp, production throughput
+    packs to EOVC once (`pack_eovc --dataset videodir`) and feeds the
+    native loader.
+    """
+
+    EXTS = (".mp4", ".avi", ".mkv", ".mov", ".webm")
+
+    def __init__(
+        self,
+        root: str,
+        split: Sequence[tuple[str, int, int]] | None = None,
+        class_names: Sequence[str] | None = None,
+    ):
+        self.root = root
+        if split is None:
+            classes = sorted(
+                d for d in os.listdir(root)
+                if os.path.isdir(os.path.join(root, d))
+            )
+            if not classes:
+                raise FileNotFoundError(f"no class subdirectories in {root}")
+            class_names = classes
+            split = [
+                (os.path.join(c, f), 0, label)
+                for label, c in enumerate(classes)
+                for f in sorted(os.listdir(os.path.join(root, c)))
+                if f.lower().endswith(self.EXTS)
+            ]
+            if not split:
+                raise FileNotFoundError(f"no video files under {root}")
+        if class_names is None:
+            class_names = [
+                str(i) for i in range(max(s[2] for s in split) + 1)
+            ]
+        self.class_names = list(class_names)
+        self.records = [
+            VideoRecord(p, n if n and n > 0 else self._probe_frames(p), l)
+            for p, n, l in split
+        ]
+
+    def _open(self, rel_path: str):
+        import cv2
+
+        cap = cv2.VideoCapture(os.path.join(self.root, rel_path))
+        if not cap.isOpened():
+            raise IOError(f"cannot open video: {rel_path}")
+        return cap
+
+    def _probe_frames(self, rel_path: str) -> int:
+        import cv2
+
+        cap = self._open(rel_path)
+        try:
+            n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            if n > 0:
+                return n
+            # Broken container metadata: count by grabbing (slow, correct).
+            n = 0
+            while cap.grab():
+                n += 1
+            if n == 0:
+                raise IOError(f"no decodable frames: {rel_path}")
+            return n
+        finally:
+            cap.release()
+
+    def get_frames(self, record: VideoRecord, indices: np.ndarray) -> np.ndarray:
+        idx = np.asarray(indices)
+        needed = {int(i) for i in idx}
+        if min(needed) < 0:
+            raise IndexError(f"negative frame index for {record.video_id}")
+        got: dict[int, np.ndarray] = {}
+        cap = self._open(record.video_id)
+        try:
+            last = None
+            for t in range(max(needed) + 1):
+                if t in needed:
+                    ok, frame = cap.read()  # grab + retrieve
+                    if not ok:
+                        break
+                    last = frame[:, :, ::-1]  # BGR -> RGB
+                    got[t] = last
+                elif not cap.grab():
+                    break
+            if not got:
+                raise IOError(f"decode produced no frames: {record.video_id}")
+            if len(got) < len(needed):
+                # Container metadata overcounted num_frames: TSN-pad the
+                # tail with the last decodable frame (deterministic; the
+                # reference's frame loaders pad short videos the same way).
+                import logging
+
+                logging.getLogger("eov.data").warning(
+                    "%s: only %d of %d requested frames decodable; "
+                    "padding tail with the last frame",
+                    record.video_id, len(got), len(needed),
+                )
+                for t in needed:
+                    if t not in got:
+                        got[t] = last
+        finally:
+            cap.release()
+        return np.stack([got[int(i)] for i in idx])
 
 
 class FrameFolderDataset:

@@ -130,6 +130,19 @@ def main(argv=None) -> int:
             split = datasets.load_split_txt(args.split)
             names = [str(i) for i in range(max(s[2] for s in split) + 1)]
         ds = datasets.FrameFolderDataset(args.root, split, names)
+    elif args.dataset == "videodir":
+        # Source videos -> EOVC in one step (no frame-folder staging):
+        # the C14 offline ffmpeg pass and the pack collapse into one scan.
+        if not args.root:
+            raise SystemExit("--root required for videodir")
+        split = None
+        if args.split:
+            split = (
+                datasets.load_split_json(args.split)["splits"]["all"]
+                if args.split.endswith(".json")
+                else datasets.load_split_txt(args.split)
+            )
+        ds = datasets.VideoFileDataset(args.root, split)
     else:
         raise SystemExit(f"unknown dataset {args.dataset}")
     n = pack(ds, args.out, storage_short_side=args.short_side,
