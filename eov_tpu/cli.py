@@ -5,6 +5,7 @@ extraction, one-shot eval (plain + embodied), and finetune. Equivalents:
 
     eov extract   — dataset -> clip features into a FeatureStore
     eov eval      — episodic one-shot eval over a FeatureStore (+ embodied)
+    eov classify  — classify NEW clips against a support store (deployment)
     eov episode   — config-1 single episode from raw clips, end to end
     eov train     — TSN finetune on meta-train classes (ckpt/resume per epoch)
     eov test      — video-level classification accuracy of a finetuned ckpt
@@ -364,6 +365,123 @@ def cmd_eval(args) -> int:
             json.dump(doc, f)
         print(f"per-episode accuracies -> {args.per_episode_out}")
     print(res)  # "accuracy: MM.MM% +/- C.CC%" — reference-compatible line
+    return 0
+
+
+def cmd_classify(args) -> int:
+    """Classify query clips against a one-shot support feature store.
+
+    The deployment surface of one-shot recognition (SURVEY.md §2a C8/C9
+    *applied*, where the reference only ships the protocol evaluation):
+    every clip in --store is a support example of its class; each query
+    clip from the dataset args is featurized with the same backbone and
+    assigned the class with the best fused similarity (the eval matcher's
+    exact rules — metric/fusion flags, --embodied virtual augmentation).
+    Emits one JSON line per clip; when the query dataset carries labels
+    over the same class names, a final accuracy summary is printed.
+    """
+    _setup_platform(args)
+    import tempfile
+
+    import numpy as np
+
+    from eov_tpu.config import get_preset, resolved_dict
+    from eov_tpu.data.store import FeatureStore
+    from eov_tpu.embodied import align_virtual_bank
+    from eov_tpu.extract import extract_features
+    from eov_tpu.ops import similarity as sim
+    from eov_tpu.utils.metrics import MetricsWriter
+
+    preset = get_preset(args.preset)
+    cfg = preset.extract
+    if args.arch:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, arch=args.arch)
+    store = FeatureStore(args.store)
+    table = store.to_table()
+    class_names = store.class_names
+    feats = np.asarray(table.features)  # [N, M, D]
+    counts = np.asarray(table.counts)
+    mask = (np.arange(feats.shape[1])[None, :] < counts[:, None]).astype(
+        np.float32
+    )
+    if args.embodied:
+        if not args.virtual_store:
+            raise SystemExit("--virtual-store required for --embodied")
+        vstore = FeatureStore(args.virtual_store)
+        virtual = align_virtual_bank(
+            class_names, vstore.class_names, vstore.to_table()
+        )
+        vf, vc = np.asarray(virtual.features), np.asarray(virtual.counts)
+        if vf.shape[-1] != feats.shape[-1]:
+            raise SystemExit(
+                f"real ({feats.shape[-1]}-d) and virtual ({vf.shape[-1]}-d) "
+                "features come from different backbones; re-extract one side"
+            )
+        vmask = (np.arange(vf.shape[1])[None, :] < vc[:, None]).astype(
+            np.float32
+        )
+        feats = np.concatenate([feats, vf], axis=1)
+        mask = np.concatenate([mask, vmask], axis=1)
+
+    # Featurize the queries through the production extract pipeline (same
+    # preprocessing + backbone program as the support features should have
+    # used; a dimension mismatch below means they didn't).
+    params = _load_params(args, cfg.compute_dtype)
+    dataset = _load_dataset(args)
+    with tempfile.TemporaryDirectory() as tmp:
+        qstore = FeatureStore(tmp, class_names=list(dataset.class_names))
+        stats = extract_features(dataset, params, qstore, cfg)
+        qfeats = qstore.load_all()  # video_id -> (feature, label)
+    if not qfeats:
+        raise SystemExit("no query clips could be featurized")
+    d_q = next(iter(qfeats.values()))[0].shape[-1]
+    if d_q != feats.shape[-1]:
+        raise SystemExit(
+            f"query features are {d_q}-d but the support store holds "
+            f"{feats.shape[-1]}-d; use the same --arch/--params as extract"
+        )
+
+    ids = sorted(qfeats.keys())
+    q = np.stack([qfeats[v][0] for v in ids])  # [Q, D]
+    scores = np.asarray(
+        sim.fused_class_scores(
+            q, feats, mask, metric=args.metric or "cosine",
+            fusion=args.fusion or "max",
+        )
+    )  # [Q, N]
+    preds = scores.argmax(axis=-1)
+
+    metrics = MetricsWriter(args.metrics)
+    metrics.write("config", command="classify", config=resolved_dict(cfg),
+                  n_support_classes=len(class_names), n_queries=len(ids))
+    out_f = open(args.out, "w") if getattr(args, "out", None) else None
+    try:
+        for i, vid in enumerate(ids):
+            rec = {
+                "video_id": vid,
+                "pred_class": class_names[int(preds[i])],
+                "score": float(scores[i, preds[i]]),
+            }
+            line = json.dumps(rec)
+            (out_f.write(line + "\n") if out_f else print(line))
+    finally:
+        if out_f:
+            out_f.close()
+
+    # Accuracy summary when query labels map onto the support classes.
+    name_to_idx = {c: i for i, c in enumerate(class_names)}
+    truths = [
+        name_to_idx.get(dataset.class_names[qfeats[v][1]]) for v in ids
+    ]
+    known = [(p, t) for p, t in zip(preds, truths) if t is not None]
+    if known:
+        acc = float(np.mean([p == t for p, t in known]))
+        metrics.write("classify_result", accuracy=acc, n=len(known),
+                      failed=stats["failed"])
+        print(f"labeled queries: {len(known)}/{len(ids)}, "
+              f"accuracy {acc * 100:.2f}%", file=sys.stderr)
     return 0
 
 
@@ -728,6 +846,20 @@ def main(argv=None) -> int:
                         "same store+seed+protocol scores the identical "
                         "episode sequence (canonical ordinal sampling)",
             },
+        },
+    )
+    add(
+        "classify", cmd_classify,
+        **{
+            "--store": {"required": True,
+                        "help": "support feature store (one-shot examples)"},
+            "--virtual-store": {"default": None},
+            "--embodied": {"action": "store_true"},
+            "--metric": {"choices": ["cosine", "euclidean"]},
+            "--fusion": {"choices": ["max", "mean"]},
+            "--out": {"default": None, "metavar": "FILE",
+                      "help": "write per-clip JSON lines here instead of "
+                              "stdout"},
         },
     )
     add("episode", cmd_episode, **{"--n-way": {"type": int, "dest": "n_way"}})

@@ -145,15 +145,22 @@ class VideoFileDataset:
                 d for d in os.listdir(root)
                 if os.path.isdir(os.path.join(root, d))
             )
-            if not classes:
-                raise FileNotFoundError(f"no class subdirectories in {root}")
-            class_names = classes
-            split = [
-                (os.path.join(c, f), 0, label)
-                for label, c in enumerate(classes)
-                for f in sorted(os.listdir(os.path.join(root, c)))
-                if f.lower().endswith(self.EXTS)
-            ]
+            if classes:
+                class_names = classes
+                split = [
+                    (os.path.join(c, f), 0, label)
+                    for label, c in enumerate(classes)
+                    for f in sorted(os.listdir(os.path.join(root, c)))
+                    if f.lower().endswith(self.EXTS)
+                ]
+            else:
+                # Flat root of video files: unlabeled deployment queries
+                # (`eov classify`) — one pseudo-class, label 0.
+                class_names = ["unknown"]
+                split = [
+                    (f, 0, 0) for f in sorted(os.listdir(root))
+                    if f.lower().endswith(self.EXTS)
+                ]
             if not split:
                 raise FileNotFoundError(f"no video files under {root}")
         if class_names is None:

@@ -1,0 +1,94 @@
+"""`eov classify` — one-shot classification of new clips (C8/C9 applied).
+
+The reference ships only the protocol evaluation; the deployment surface —
+"here is one example per class, classify these new videos" — is this
+subcommand. Covered: self-match sanity (the same clips featurized with the
+same seed/arch classify as their own class with cosine score ~1), JSONL
+output, label-accuracy summary, embodied augmentation, and the
+feature-dimension guard.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from eov_tpu import cli
+
+
+def _run(capsys, argv):
+    rc = cli.main(argv)
+    cap = capsys.readouterr()
+    assert rc == 0, cap.out + cap.err
+    return cap
+
+
+COMMON = [
+    "--platform", "cpu", "--preset", "synthetic_smoke",
+    "--dataset", "synthetic", "--synthetic-classes", "3",
+    "--synthetic-clips", "2", "--arch", "resnet18", "--seed", "0",
+]
+
+
+@pytest.fixture(scope="module")
+def support_store(tmp_path_factory):
+    store = str(tmp_path_factory.mktemp("cls") / "support")
+    rc = cli.main(["extract", *COMMON, "--store", store])
+    assert rc == 0
+    return store
+
+
+def test_classify_self_match_and_jsonl(support_store, tmp_path, capsys):
+    out = str(tmp_path / "preds.jsonl")
+    cap = _run(capsys, [
+        "classify", *COMMON, "--store", support_store, "--out", out,
+    ])
+    rows = [json.loads(ln) for ln in open(out)]
+    assert len(rows) == 6
+    # Same clips, same seed -> identical features -> every query's best
+    # support member is itself: correct class, cosine score ~1.
+    for r in rows:
+        assert r["pred_class"].startswith("synthetic_class_")
+        assert r["score"] > 0.999
+    assert "accuracy 100.00%" in cap.err
+
+
+def test_classify_stdout_and_metrics(support_store, tmp_path, capsys):
+    metrics = str(tmp_path / "m.jsonl")
+    cap = _run(capsys, [
+        "classify", *COMMON, "--store", support_store, "--metrics", metrics,
+    ])
+    lines = [json.loads(ln) for ln in cap.out.strip().splitlines()]
+    assert len(lines) == 6 and all("video_id" in r for r in lines)
+    events = [json.loads(ln) for ln in open(metrics)]
+    res = next(e for e in events if e["event"] == "classify_result")
+    assert res["accuracy"] == 1.0 and res["n"] == 6
+
+
+def test_classify_embodied_augmentation_runs(support_store, tmp_path,
+                                             capsys):
+    vstore = str(tmp_path / "virtual")
+    _run(capsys, [
+        "extract", *COMMON, "--synthetic-virtual", "--store", vstore,
+    ])
+    cap = _run(capsys, [
+        "classify", *COMMON, "--store", support_store,
+        "--embodied", "--virtual-store", vstore,
+    ])
+    lines = [json.loads(ln) for ln in cap.out.strip().splitlines()]
+    assert len(lines) == 6
+    assert "accuracy" in cap.err  # real self-match still wins per class
+
+
+def test_classify_dimension_guard(tmp_path, capsys):
+    """A support store from a different backbone must refuse loudly."""
+    from eov_tpu.data.store import FeatureStore
+
+    store = FeatureStore(str(tmp_path / "wrongdim"),
+                         class_names=["a", "b", "c"])
+    for c in range(3):
+        store.put(f"v{c}", np.ones(7, np.float32), c)
+    store.flush()
+    with pytest.raises(SystemExit, match="7-d"):
+        cli.main(["classify", *COMMON, "--store", str(tmp_path / "wrongdim")])
+    capsys.readouterr()
