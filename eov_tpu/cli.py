@@ -9,6 +9,7 @@ extraction, one-shot eval (plain + embodied), and finetune. Equivalents:
     eov episode   — config-1 single episode from raw clips, end to end
     eov train     — TSN finetune on meta-train classes (ckpt/resume per epoch)
     eov test      — video-level classification accuracy of a finetuned ckpt
+    eov store-info — merged summary of a FeatureStore (clips/dtype/shards)
     eov fixtures  — materialize a synthetic frame-folder dataset (JPEGs)
     eov presets   — list checked-in config presets
     eov bench     — headline throughput benchmark (bench.py)
@@ -707,6 +708,50 @@ def cmd_test(args) -> int:
     return 0
 
 
+def cmd_store_info(args) -> int:
+    """Summarize a FeatureStore: clips, classes, dtype, shards, bytes.
+
+    Ops tooling for the C6 feature cache (SURVEY.md §5 checkpoint/resume):
+    pod runs produce multi-writer stores (per-process shard prefixes +
+    manifests); this prints the merged view one JSON line — what resumes,
+    what evals, and how big it is on disk.
+    """
+    import glob as _glob
+
+    import numpy as np
+
+    from eov_tpu.data.store import FeatureStore
+
+    store = FeatureStore(args.store)
+    videos = store._merged_videos()
+    shards = sorted(_glob.glob(os.path.join(args.store, "shard_*.npz")))
+    manifests = _glob.glob(os.path.join(args.store, "manifest*.json"))
+    labels = [v["label"] for v in videos.values()]
+    per_class = np.bincount(
+        labels, minlength=len(store.class_names) or 0
+    ) if labels else np.zeros(0, np.int64)
+    dim = None
+    if videos:
+        vid = next(iter(videos))
+        with np.load(os.path.join(args.store, videos[vid]["shard"])) as z:
+            dim = int(z[vid].shape[-1])
+    info = {
+        "store": args.store,
+        "clips": len(videos),
+        "classes": len(store.class_names),
+        "feature_dim": dim,
+        "dtype": store.dtype.name,
+        "shards": len(shards),
+        "writers": len(manifests) or 1,
+        "bytes": int(sum(os.path.getsize(p) for p in shards)),
+        "clips_per_class_min": int(per_class.min()) if len(per_class) else 0,
+        "clips_per_class_max": int(per_class.max()) if len(per_class) else 0,
+        "empty_classes": int((per_class == 0).sum()) if len(per_class) else 0,
+    }
+    print(json.dumps(info))
+    return 0
+
+
 def cmd_fixtures(args) -> int:
     """Materialize a synthetic dataset as JPEG frame folders + split files."""
     import os
@@ -912,6 +957,7 @@ def main(argv=None) -> int:
             },
         },
     )
+    add("store-info", cmd_store_info, **{"--store": {"required": True}})
     add("fixtures", cmd_fixtures)
     add("bench", cmd_bench)
     pp = sub.add_parser("presets", help="list config presets")
