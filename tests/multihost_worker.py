@@ -85,10 +85,54 @@ def main() -> int:
         mesh,
     )
 
+    # Pod TRAIN step (C12 x §2c, balanced case only): pjit DP over the
+    # 2-host global mesh with per-host input rows lifted to global arrays
+    # — the gradient + BN-stat reductions ride the gloo (DCN-analog)
+    # collectives, and the replicated state must stay bit-identical
+    # across processes.
+    train_report = None
+    if len(sys.argv) <= 6:
+        import numpy as np
+
+        from eov_tpu import train as tr
+
+        cfg_t = tr.TrainConfig(
+            num_classes=n_classes, arch="resnet18", num_segments=2,
+            batch_clips=4, scale_size=36, crop_size=32,
+            compute_dtype="float32", dropout=0.0,
+        )
+        state = tr.create_train_state(
+            cfg_t, jax.random.PRNGKey(1), sample_hw=(32, 32)
+        )
+        # np leaves = replicated-by-value inputs in multi-controller jit
+        # (same convention as make_sharded_feature_fn's params).
+        state = jax.tree.map(np.asarray, state)
+        mesh_t = dist.global_mesh(n_frame=1)  # data axis = all 4 devices
+        step = tr.make_train_step(cfg_t, mesh_t, donate=False)
+        mine = records[:2]  # this host's rows of the global batch of 4
+        frames_local = np.stack(
+            [ds.get_frames(r, np.array([0, 1])) for r in mine]
+        )
+        labels_local = np.array([r.label for r in mine], np.int32)
+        losses = []
+        for s in range(2):
+            gb = dist.host_batch_to_global(mesh_t, frames_local)
+            gl = dist.host_batch_to_global(mesh_t, labels_local)
+            state, m = step(
+                state, gb, gl, np.asarray(jax.random.PRNGKey(100 + s))
+            )
+            losses.append(float(m["loss"]))
+        checksum = float(
+            sum(np.abs(np.asarray(l)).sum(dtype=np.float64)
+                for l in jax.tree.leaves(state.params))
+        )
+        train_report = {"losses": losses, "params_checksum": checksum}
+
     with open(os.path.join(out_dir, f"worker{pid}.json"), "w") as f:
         json.dump({"stats": stats, "n_done": n_done,
                    "local_records": len(records),
-                   "eval_mean_acc": res.mean_acc}, f)
+                   "eval_mean_acc": res.mean_acc,
+                   "train": train_report}, f)
     return 0
 
 

@@ -171,6 +171,43 @@ def test_two_process_extraction_matches_single_process(tmp_path):
     )
     assert r_local.mean_acc == reports[0]["eval_mean_acc"]
 
+    # The workers also EXECUTED a pod train step (pjit DP, per-host rows
+    # lifted to global arrays, gradient/BN psums over gloo): both processes
+    # must observe identical losses and bit-identical post-step params,
+    # and the result must match this parent's single-process run of the
+    # same two global steps (same global batch, same keys).
+    t0, t1 = reports[0]["train"], reports[1]["train"]
+    assert t0 is not None and t1 is not None
+    assert t0["losses"] == t1["losses"]
+    assert t0["params_checksum"] == t1["params_checksum"]
+
+    from eov_tpu import train as tr
+
+    cfg_t = tr.TrainConfig(
+        num_classes=4, arch="resnet18", num_segments=2, batch_clips=4,
+        scale_size=36, crop_size=32, compute_dtype="float32", dropout=0.0,
+    )
+    state = tr.create_train_state(cfg_t, jax.random.PRNGKey(1),
+                                  sample_hw=(32, 32))
+    step = tr.make_train_step(cfg_t, mesh=None, donate=False)
+    # Global batch = host0's first 2 strided records then host1's (the
+    # host_batch_to_global row order).
+    recs = [r for pid in range(2) for r in ds.records[pid::2][:2]]
+    frames = jnp.asarray(
+        np.stack([ds.get_frames(r, np.array([0, 1])) for r in recs])
+    )
+    labels = jnp.asarray(np.array([r.label for r in recs], np.int32))
+    losses = []
+    for s in range(2):
+        state, m = step(state, frames, labels, jax.random.PRNGKey(100 + s))
+        losses.append(float(m["loss"]))
+    np.testing.assert_allclose(losses, t0["losses"], rtol=1e-5)
+    checksum = float(
+        sum(np.abs(np.asarray(l)).sum(dtype=np.float64)
+            for l in jax.tree.leaves(state.params))
+    )
+    np.testing.assert_allclose(checksum, t0["params_checksum"], rtol=1e-6)
+
 
 def test_two_process_unbalanced_hosts(tmp_path):
     """15 clips over 2 hosts (8 vs 7): the short host must run a padded
