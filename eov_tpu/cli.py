@@ -623,7 +623,7 @@ def cmd_train(args) -> int:
         best = (doc["val_acc"], doc["ci95"], doc["epoch"])
     for epoch in range(start_epoch, args.epochs):
         state, m = eov_train.train_epoch_synthetic(
-            state, step_fn, cfg, dataset, epoch=epoch
+            state, step_fn, cfg, dataset, epoch=epoch, mesh=mesh
         )
         metrics.write("epoch", epoch=epoch, **m)
         print(f"epoch {epoch}: {m}")

@@ -454,11 +454,11 @@ def train_epoch_synthetic(
     dataset,
     *,
     epoch: int = 0,
+    mesh: Mesh | None = None,
 ) -> tuple[TrainState, dict]:
     """Host loop driving step_fn over a VideoDataset with random TSN sampling.
 
-    Used by the CLI finetune entry point and tests; pod-scale training
-    feeds per-host shards instead (parallel/distributed.py).
+    Used by the CLI finetune entry point and tests.
 
     Mixed-resolution datasets are handled by bucketing clips per frame
     resolution (each resolution is a distinct XLA compile regardless, since
@@ -467,10 +467,38 @@ def train_epoch_synthetic(
     (DistributedSampler-style), so every clip contributes to the epoch and
     the step shape stays constant — the wrapped duplicates overweight a few
     clips once per epoch, which is the standard trade for static shapes.
+
+    POD (multi-controller) mode — `mesh` over >1 process: the global
+    permutation, TSN index draws, and batch composition are computed
+    identically on every host (same seeded rng walked over the same global
+    order), each host decodes only ITS `batch_clips / process_count` rows
+    of every global batch and lifts them with `host_batch_to_global`, so
+    the global batch the pjit step sees is BIT-IDENTICAL to what a
+    single-process epoch would feed — and every host runs the same step
+    count by construction (no global_max dance). Requires
+    resolution-normalized storage (the EOVC production layout): with
+    sharded decode a host cannot observe other hosts' frame shapes, so
+    mixed-resolution bucketing is refused loudly.
     """
     import numpy as np
 
     from eov_tpu.data import segments as seg  # noqa: F401 (host mirror below)
+
+    multi = mesh is not None and jax.process_count() > 1
+    if multi:
+        from eov_tpu.parallel import distributed as dist
+
+        pc, pi = jax.process_count(), jax.process_index()
+        if cfg.batch_clips % pc:
+            raise ValueError(
+                f"pod training: batch_clips={cfg.batch_clips} must divide "
+                f"evenly over {pc} processes"
+            )
+        b_local = cfg.batch_clips // pc
+        # Replicated-by-value state: multi-controller jit accepts host
+        # (numpy) leaves as replicated; committed process-local jax arrays
+        # would be rejected as non-addressable on the other hosts.
+        state = jax.tree_util.tree_map(np.asarray, state)
 
     rng = np.random.default_rng(cfg.seed + epoch)
     order = rng.permutation(len(dataset.records))
@@ -478,15 +506,70 @@ def train_epoch_synthetic(
     last = {}
     n_steps = 0
     n_clips = 0
-    buckets: dict[tuple, tuple[list, list]] = {}
+    shape0 = None
 
     def run_step(clips, labels):
         nonlocal state, last, n_steps, key
-        frames = jnp.asarray(np.stack(clips))
-        labels_j = jnp.asarray(np.array(labels, np.int32))
+        if multi:
+            frames = dist.host_batch_to_global(mesh, np.stack(clips))
+            labels_j = dist.host_batch_to_global(
+                mesh, np.array(labels, np.int32)
+            )
+        else:
+            frames = jnp.asarray(np.stack(clips))
+            labels_j = jnp.asarray(np.array(labels, np.int32))
         key, sub = jax.random.split(key)
         state, last = step_fn(state, frames, labels_j, sub)
         n_steps += 1
+
+    if multi:
+        # Draw the whole epoch's TSN indices in global order first — the
+        # rng stream is then host-invariant, and wrap-pad rows can reuse
+        # their source row's (record, indices) exactly as the
+        # single-process tail bucket reuses its decoded clips.
+        b = cfg.batch_clips
+        n = len(order)
+        samples = []  # (record_index, sampled idx) per global position
+        for i in order:
+            r = dataset.records[i]
+            k = cfg.num_segments
+            avg = r.num_frames // k
+            if avg > 0:
+                idx = np.arange(k) * avg + rng.integers(0, avg, size=k)
+            else:
+                idx = np.sort(rng.integers(0, r.num_frames, size=k))
+            samples.append((int(i), idx))
+        n0 = n % b
+        if n0:
+            tail = samples[n - n0:]
+            samples += [tail[j % n0] for j in range(b - n0)]
+        # Global batch s = samples[s*B : (s+1)*B]; this host decodes only
+        # rows [pi*b_local, (pi+1)*b_local) of each.
+        lo, hi = pi * b_local, (pi + 1) * b_local
+        clips, labels = [], []
+        for pos, (i, idx) in enumerate(samples):
+            r = dataset.records[i]
+            if lo <= pos % b < hi:
+                clip = dataset.get_frames(r, idx)
+                if shape0 is None:
+                    shape0 = clip.shape[1:3]
+                elif clip.shape[1:3] != shape0:
+                    raise ValueError(
+                        "pod training requires resolution-normalized "
+                        f"storage: saw {clip.shape[1:3]} after {shape0} — "
+                        "pack to EOVC (tools/pack_eovc) or pre-resize"
+                    )
+                clips.append(clip)
+                labels.append(r.label)
+            if pos % b == b - 1:
+                run_step(clips, labels)
+                clips, labels = [], []
+        n_clips = n
+        out = {k: float(v) for k, v in last.items()}
+        out.update(steps=n_steps, clips=n_clips)
+        return state, out
+
+    buckets: dict[tuple, tuple[list, list]] = {}
 
     for i in order:
         r = dataset.records[i]

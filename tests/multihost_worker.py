@@ -128,6 +128,31 @@ def main() -> int:
         )
         train_report = {"losses": losses, "params_checksum": checksum}
 
+        # Pod EPOCH through the production host loop (the exact
+        # cmd_train --multichip path), with a wrap-padded tail: 14 of the
+        # 16 records -> 3 full global batches + a padded fourth. Batch
+        # composition is host-invariant, so the parent can reproduce it
+        # single-process bit-for-bit at the input level.
+        class Sub:
+            records = ds.records[:14]
+            class_names = ds.class_names
+            get_frames = ds.get_frames
+
+        state_e = tr.create_train_state(
+            cfg_t, jax.random.PRNGKey(2), sample_hw=(32, 32)
+        )
+        state_e, em = tr.train_epoch_synthetic(
+            state_e, step, cfg_t, Sub(), epoch=0, mesh=mesh_t
+        )
+        checksum_e = float(
+            sum(np.abs(np.asarray(l)).sum(dtype=np.float64)
+                for l in jax.tree.leaves(state_e.params))
+        )
+        train_report["epoch"] = {
+            "metrics": {k: float(v) for k, v in em.items()},
+            "params_checksum": checksum_e,
+        }
+
     with open(os.path.join(out_dir, f"worker{pid}.json"), "w") as f:
         json.dump({"stats": stats, "n_done": n_done,
                    "local_records": len(records),

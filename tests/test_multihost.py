@@ -208,6 +208,32 @@ def test_two_process_extraction_matches_single_process(tmp_path):
     )
     np.testing.assert_allclose(checksum, t0["params_checksum"], rtol=1e-6)
 
+    # The pod EPOCH (the cmd_train --multichip host loop, wrap-padded
+    # tail included) agrees across processes and with a single-process
+    # epoch of the same config — same global permutation, same TSN index
+    # stream, same batch composition.
+    e0, e1 = t0["epoch"], t1["epoch"]
+    assert e0["metrics"] == e1["metrics"]
+    assert e0["params_checksum"] == e1["params_checksum"]
+    assert e0["metrics"]["steps"] == 4.0 and e0["metrics"]["clips"] == 14.0
+
+    class Sub:
+        records = ds.records[:14]
+        class_names = ds.class_names
+        get_frames = ds.get_frames
+
+    state_e = tr.create_train_state(cfg_t, jax.random.PRNGKey(2),
+                                    sample_hw=(32, 32))
+    state_e, em = tr.train_epoch_synthetic(state_e, step, cfg_t, Sub(),
+                                           epoch=0)
+    assert em["steps"] == 4 and em["clips"] == 14
+    np.testing.assert_allclose(em["loss"], e0["metrics"]["loss"], rtol=1e-5)
+    checksum_e = float(
+        sum(np.abs(np.asarray(l)).sum(dtype=np.float64)
+            for l in jax.tree.leaves(state_e.params))
+    )
+    np.testing.assert_allclose(checksum_e, e0["params_checksum"], rtol=1e-6)
+
 
 def test_two_process_unbalanced_hosts(tmp_path):
     """15 clips over 2 hosts (8 vs 7): the short host must run a padded
