@@ -73,3 +73,22 @@ def test_cli_presets_lists_baseline_configs(capsys):
     out = _run(capsys, ["presets"])
     for name in ("synthetic_smoke", "kinetics_5shot"):
         assert name in out
+
+
+def test_cli_train_multichip_single_controller(tmp_path, capsys):
+    """`train --multichip` on the in-process 8-device mesh (single
+    controller): distributed.initialize is a no-op, the mesh spans the
+    virtual devices, the batch rounds to the data axis, and the epoch
+    runs pjit DP end to end."""
+    out_dir = str(tmp_path / "run")
+    out = _run(capsys, [
+        "train", "--platform", "cpu", "--dataset", "synthetic",
+        "--synthetic-classes", "3", "--synthetic-clips", "4",
+        "--arch", "resnet18", "--epochs", "1", "--batch", "8",
+        "--num-segments", "2", "--scale-size", "36", "--crop-size", "32",
+        "--multichip", "--out", out_dir,
+    ])
+    assert "epoch 0" in out
+    import os
+
+    assert os.path.isdir(os.path.join(out_dir, "step_0"))
