@@ -898,6 +898,11 @@ def main(argv=None) -> int:
         **{
             "--store": {"required": True,
                         "help": "support feature store (one-shot examples)"},
+            "--select": {
+                "choices": ("latest", "best"), "default": "latest",
+                "help": "when --params is a train-run dir: newest epoch "
+                        "checkpoint, or best.json's meta-val winner",
+            },
             "--virtual-store": {"default": None},
             "--embodied": {"action": "store_true"},
             "--metric": {"choices": ["cosine", "euclidean"]},
