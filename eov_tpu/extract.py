@@ -93,17 +93,21 @@ def resolve_fused_stages(
 ) -> tuple:
     """Resolve ExtractConfig.fused_stages to a concrete stage tuple.
 
-    "auto" picks the measured single-chip optimum — stage 1 fused on TPU
-    (BASELINE.md r2: +2.3%; stages 1+2 measured negative), nothing on other
-    backends (the interpret-mode kernel is a parity tool, not a fast path).
-    Explicit tuples are always honored (interpret mode off-TPU). Fusion
-    needs folded BN and a bottleneck arch; otherwise resolves empty.
+    "auto" picks the measured single-chip optimum — for bottleneck archs,
+    stage 1 fused on TPU (BASELINE.md r2: +2.3%; stages 1+2 measured
+    negative); for basic archs (resnet18/34) nothing (the r3 basic-stack
+    measurement — see BASELINE.md family rows); nothing on other backends
+    (the interpret-mode kernel is a parity tool, not a fast path).
+    Explicit tuples are always honored, both families, interpret off-TPU.
+    Fusion needs folded BN; otherwise resolves empty.
     """
     from eov_tpu.models import get_arch
 
-    if not folded or not get_arch(arch)[2]:
+    if not folded:
         return ()
     if fused_stages == "auto":
+        if not get_arch(arch)[2]:
+            return ()
         return (1,) if jax.default_backend() == "tpu" else ()
     return tuple(fused_stages or ())
 

@@ -8,10 +8,13 @@ stack (ops/pallas_bottleneck.py) — flax's module structure can't skip its
 submodule calls, a plain function can.
 
 Fusion rule per stage: stage 1's entry block is stride-1 (the maxpool
-already downsampled), so the WHOLE stage fuses (projection shortcut
-included); stages 2-4 run their stride-2 entry block in XLA and fuse the
-stride-1 tail. Only bottleneck archs (resnet50/101/152) are supported —
-the basic-block archs keep the flax path.
+already downsampled), so the WHOLE stage fuses (bottleneck archs include
+the projection shortcut; basic archs have none at stage 1); stages 2-4
+run their stride-2 entry block in XLA and fuse the stride-1 tail. Both
+families run through this forward: bottleneck archs (resnet50/101/152)
+use the bottleneck stack kernel, basic archs (resnet18/34) the basic
+stack kernel (r3 — two 3x3 convs per block over the same shifted-matmul
+scratch machinery).
 
 Parity: tests/test_pallas_bottleneck.py asserts this forward (fused and
 unfused) against the flax folded apply.
@@ -61,6 +64,22 @@ def _xla_bottleneck(x, p, *, stride, dtype):
     return jnp.maximum(y + r, 0)
 
 
+def _xla_basic(x, p, *, stride, dtype):
+    """One folded basic block via XLA (mirrors models/resnet.BasicBlock)."""
+    y = _bias_relu(
+        _conv(x, p["conv1"]["kernel"], stride=stride, pad=1, dtype=dtype),
+        p["bn1"]["bias"], dtype,
+    )
+    y = _conv(y, p["conv2"]["kernel"], pad=1, dtype=dtype) + \
+        p["bn2"]["bias"].astype(dtype)
+    if "downsample_conv" in p:
+        r = _conv(x, p["downsample_conv"]["kernel"], stride=stride,
+                  dtype=dtype) + p["downsample_bn"]["bias"].astype(dtype)
+    else:
+        r = x
+    return jnp.maximum(y + r, 0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -89,12 +108,16 @@ def folded_feature_apply(
     """
     from eov_tpu.models import get_arch
     from eov_tpu.ops.pallas_bottleneck import (
-        fused_bottleneck_stack, pack_bottleneck_params,
+        fused_basic_stack, fused_bottleneck_stack, pack_basic_params,
+        pack_bottleneck_params,
     )
 
     _, stage_sizes, bottleneck = get_arch(arch)
-    if not bottleneck:
-        raise ValueError("folded_feature_apply supports bottleneck archs only")
+    xla_block = _xla_bottleneck if bottleneck else _xla_basic
+    if pallas_pool == "fused" and not bottleneck:
+        raise ValueError(
+            "pallas_pool='fused' is implemented for bottleneck archs only"
+        )
     params = variables["params"]
 
     lead = frames.shape[:-3]
@@ -144,13 +167,14 @@ def folded_feature_apply(
         j0 = 0
         if fuse and entry_stride != 1:
             # Strided entry block stays XLA; fuse the stride-1 tail.
-            x = _xla_bottleneck(
+            x = xla_block(
                 x, params[f"layer{i + 1}_0"], stride=2, dtype=dtype
             )
             j0 = 1
         if fuse and n_blocks - j0 > 0:
+            pack = pack_bottleneck_params if bottleneck else pack_basic_params
             blocks = [
-                pack_bottleneck_params(params[f"layer{i + 1}_{j}"])
+                pack(params[f"layer{i + 1}_{j}"])
                 for j in range(j0, n_blocks)
             ]
             n, h, w, c = x.shape
@@ -186,14 +210,17 @@ def folded_feature_apply(
                     x, blocks, group=g, interpret=interpret,
                 )
             else:
-                y = fused_bottleneck_stack(
+                stack = (
+                    fused_bottleneck_stack if bottleneck else fused_basic_stack
+                )
+                y = stack(
                     x.reshape(n, h * w, c), blocks, h=h, w=w,
                     group=g, interpret=interpret,
                 )
             x = y.reshape(n, h, w, y.shape[-1])
         else:
             for j in range(n_blocks):
-                x = _xla_bottleneck(
+                x = xla_block(
                     x, params[f"layer{i + 1}_{j}"],
                     stride=2 if (i > 0 and j == 0) else 1, dtype=dtype,
                 )

@@ -55,7 +55,9 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "fused_bottleneck_stack",
     "fused_pool_bottleneck_stack",
+    "fused_basic_stack",
     "pack_bottleneck_params",
+    "pack_basic_params",
 ]
 
 
@@ -80,6 +82,100 @@ def pack_bottleneck_params(block_tree: Mapping[str, Any]) -> dict:
         out["wd"] = block_tree["downsample_conv"]["kernel"][0, 0]
         out["bd"] = block_tree["downsample_bn"]["bias"][None, :]
     return out
+
+
+def pack_basic_params(block_tree: Mapping[str, Any]) -> dict:
+    """Folded BASIC block param tree -> flat kernel arrays.
+
+    block_tree is one ``layerI_J`` subtree of ``fold_batchnorm`` output for
+    a basic-block arch (resnet18/34): two 3x3 convs + FoldedBias biases.
+    Stride-1, projection-free blocks only (every non-entry basic block, and
+    all of stage 1 — resnet18/34 layer1 has no downsample).
+    """
+    if "downsample_conv" in block_tree:
+        raise ValueError(
+            "fused basic stack: projection (stage-entry) blocks stay XLA"
+        )
+    w1 = block_tree["conv1"]["kernel"]  # [3, 3, Cin, C]
+    w2 = block_tree["conv2"]["kernel"]  # [3, 3, C, C]
+    if w1.shape[2] != w1.shape[3]:
+        raise ValueError(
+            "fused basic stack requires Cin == Cout (stride-1 tail blocks)"
+        )
+    return {
+        "w1": w1.reshape(9, w1.shape[2], w1.shape[3]),  # tap-major ky*3+kx
+        "b1": block_tree["bn1"]["bias"][None, :],
+        "w2": w2.reshape(9, w2.shape[2], w2.shape[3]),
+        "b2": block_tree["bn2"]["bias"][None, :],
+    }
+
+
+def _run_basic_chain(xs, refs, out_ref, pad_ref, *, n_blocks, h, w, dtype,
+                     group):
+    """Op-interleaved BASIC block chain: [relu(3x3) -> 3x3 + residual,
+    relu] per block, all maps VMEM-resident.
+
+    refs layout (consumed from index 1): per block w1,b1,w2,b2. Same
+    shifted-matmul 3x3 formulation as the bottleneck chain (see module
+    doc); the pad scratch is written twice per block — with the block
+    input for conv1's taps, then with conv1's output for conv2's — which
+    is safe because all nine conv1 taps are consumed before y1 lands.
+    """
+    p = h * w
+    s = w + 1
+
+    pad_ref[:] = jnp.zeros(pad_ref.shape, pad_ref.dtype)
+    col = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0) % w
+    mask_l = (col != 0).astype(dtype)
+    mask_r = (col != w - 1).astype(dtype)
+
+    def matmul(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def conv3x3(srcs, wtap):
+        """9 shifted matmuls over the pad scratch holding `srcs`."""
+        for g in range(group):
+            pad_ref[g, s : s + p] = srcs[g]
+        accs = [jnp.zeros((p, wtap.shape[-1]), jnp.float32)] * group
+        for ky in range(3):
+            for kx in range(3):
+                off = s + (ky - 1) * w + (kx - 1)
+                for g in range(group):
+                    tap = pad_ref[g, off : off + p]
+                    if kx == 0:
+                        tap = tap * mask_l
+                    elif kx == 2:
+                        tap = tap * mask_r
+                    accs[g] = accs[g] + matmul(tap, wtap[ky * 3 + kx])
+        return accs
+
+    ri = 1
+    for _ in range(n_blocks):
+        w1, b1, w2, b2 = (r[...] for r in refs[ri : ri + 4])
+        ri += 4
+        a1 = conv3x3(xs, w1)
+        y1s = [
+            jnp.maximum(a1[g] + b1, 0.0).astype(dtype) for g in range(group)
+        ]
+        a2 = conv3x3(y1s, w2)
+        for g in range(group):
+            xs[g] = jnp.maximum(
+                a2[g] + b2 + xs[g].astype(jnp.float32), 0.0
+            ).astype(dtype)
+
+    for g in range(group):
+        out_ref[g] = xs[g]
+
+
+def _basic_stack_kernel(*refs, n_blocks, h, w, dtype, group):
+    xs = [refs[0][g] for g in range(group)]
+    _run_basic_chain(
+        xs, refs, refs[-2], refs[-1], n_blocks=n_blocks, h=h, w=w,
+        dtype=dtype, group=group,
+    )
 
 
 def _run_chain(xs, refs, out_ref, pad_ref, *, n_blocks, has_proj, h, w,
@@ -195,9 +291,12 @@ def _flat_params_and_specs(blocks, dtype):
     """Flatten block params and build their resident VMEM BlockSpecs."""
     flat_params, in_specs = [], []
     for b in blocks:
-        names = ("w1", "b1", "w2", "b2", "w3", "b3")
-        if "wd" in b:
-            names += ("wd", "bd")
+        # Canonical key order shared by both chain kernels' ref consumption:
+        # bottleneck w1,b1,w2,b2,w3,b3[,wd,bd]; basic w1,b1,w2,b2.
+        names = tuple(
+            k for k in ("w1", "b1", "w2", "b2", "w3", "b3", "wd", "bd")
+            if k in b
+        )
         for k in names:
             arr = b[k]
             arr = arr.astype(jnp.float32 if k.startswith("b") else dtype)
@@ -299,6 +398,68 @@ def fused_bottleneck_stack(
         # double-buffered in/out blocks — past Mosaic's 16 MB default
         # scoped-VMEM limit at stage-1 shapes (measured 27.4 MB at g=2).
         # v5e VMEM is 128 MiB; raise the cap only when grouping.
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if g > 1 else None
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n * flops_per_img,
+            bytes_accessed=bytes_io,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, *flat_params)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "group", "interpret")
+)
+def fused_basic_stack(
+    x: jax.Array,                      # [N, H*W, C] compute-dtype
+    blocks: Sequence[Mapping[str, jax.Array]],  # pack_basic_params
+    *,
+    h: int,
+    w: int,
+    group: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """Run a stride-1 BASIC block stack (resnet18/34) VMEM-resident.
+
+    Same design as ``fused_bottleneck_stack`` — each image's maps enter and
+    leave HBM once, the two 3x3 convs per block are 9 shifted matmuls over
+    one padded scratch (written twice per block), ``group`` independent
+    images interleave op-by-op. Channel count must be constant through the
+    stack (true for every basic stage's stride-1 tail, and for all of
+    stage 1 which has no entry projection). Returns [N, H*W, C].
+    """
+    n, p, c = x.shape
+    if p != h * w:
+        raise ValueError(f"x rows {p} != h*w {h * w}")
+    for b in blocks:
+        if b["w1"].shape[1] != c or b["w2"].shape[2] != c:
+            raise ValueError("fused basic stack: constant channel count "
+                             f"required, got {c} vs {b['w1'].shape}")
+    g = _resolve_group(group, n)
+    dtype = x.dtype
+
+    flat_params, in_specs = _flat_params_and_specs(blocks, dtype)
+    in_specs.insert(0, pl.BlockSpec((g, p, c), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM))
+    kernel = functools.partial(
+        _basic_stack_kernel, n_blocks=len(blocks), h=h, w=w,
+        dtype=dtype, group=g,
+    )
+    flops_per_img = len(blocks) * 2 * (2 * p * 9 * c * c)
+    bytes_io = x.dtype.itemsize * n * p * 2 * c
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // g,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((g, p, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, p, c), dtype),
+        scratch_shapes=[pltpu.VMEM((g, (h + 2) * w + 8, c), dtype)],
         compiler_params=(
             pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
             if g > 1 else None

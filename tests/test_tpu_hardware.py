@@ -371,3 +371,44 @@ def test_pallas_maxpool_on_hardware(tpu_backend):
             [(0, 0), (1, 1), (1, 1), (0, 0)],
         ))
         np.testing.assert_array_equal(got, want)
+
+
+@requires_tpu
+def test_fused_basic_stack_on_hardware(tpu_backend):
+    """The basic-block (resnet18/34) fused stack compiles under Mosaic and
+    matches the XLA folded blocks on hardware — f32 tight, bf16 at the
+    production-dtype bound; grouped == ungrouped bit-identical (r3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eov_tpu.models import get_arch
+    from eov_tpu.models.folded_infer import folded_feature_apply
+    from eov_tpu.models.resnet import feature_apply, fold_batchnorm
+
+    model = get_arch("resnet18")[0](dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(6), jnp.zeros((1, 48, 48, 3)))
+    folded = fold_batchnorm(variables)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 48, 48, 3)).astype(np.float32))
+
+    want32 = np.asarray(feature_apply(folded, x, arch="resnet18",
+                                      dtype=jnp.float32, folded=True))
+    got32 = np.asarray(folded_feature_apply(
+        folded, x, arch="resnet18", dtype=jnp.float32, fused_stages=(1, 2)
+    ))
+    scale = np.abs(want32).max() + 1e-9
+    assert np.abs(got32 - want32).max() / scale < 1e-3
+
+    got32_g2 = np.asarray(folded_feature_apply(
+        folded, x, arch="resnet18", dtype=jnp.float32, fused_stages=(1, 2),
+        fused_group=2,
+    ))
+    np.testing.assert_array_equal(got32_g2, got32)
+
+    want16 = np.asarray(feature_apply(folded, x, arch="resnet18",
+                                      dtype=jnp.bfloat16, folded=True))
+    got16 = np.asarray(folded_feature_apply(
+        folded, x, arch="resnet18", dtype=jnp.bfloat16, fused_stages=(1,)
+    ))
+    scale = np.abs(want16).max() + 1e-9
+    assert np.abs(got16 - want16).max() / scale < 1.5e-2
