@@ -112,7 +112,7 @@ def _load_dataset(args):
         # num_frames <= 0 probes the container.
         if not args.root:
             raise SystemExit("--root required for videodir")
-        split = names = None
+        split = names = only = None
         if args.split:
             if args.split.endswith(".json"):
                 meta = datasets.load_split_json(args.split)
@@ -120,8 +120,18 @@ def _load_dataset(args):
                 names = meta["class_names"]
             else:
                 split = datasets.load_split_txt(args.split)
+        elif getattr(args, "class_split", None):
+            # Restrict directory discovery up front: probing frame counts
+            # opens every container, and class_filtered would drop the
+            # other classes' records right after.
+            from eov_tpu.data import class_splits as cs
+
+            path, _, part = args.class_split.partition(":")
+            doc = cs.load_class_split(path)
+            only = doc["class_splits"][part or "test"]
         return class_filtered(
-            datasets.VideoFileDataset(args.root, split, names)
+            datasets.VideoFileDataset(args.root, split, names,
+                                      only_classes=only)
         )
     if args.dataset == "framedir":
         if not (args.root and args.split):
@@ -388,7 +398,7 @@ def cmd_classify(args) -> int:
 
     from eov_tpu.config import get_preset, resolved_dict
     from eov_tpu.data.store import FeatureStore
-    from eov_tpu.embodied import align_virtual_bank
+    from eov_tpu.embodied import union_support
     from eov_tpu.extract import extract_features
     from eov_tpu.ops import similarity as sim
     from eov_tpu.utils.metrics import MetricsWriter
@@ -399,32 +409,25 @@ def cmd_classify(args) -> int:
         import dataclasses as _dc
 
         cfg = _dc.replace(cfg, arch=args.arch)
+    # Matcher rules default to the PRESET's eval protocol (flags override):
+    # classify promises the rules the store's accuracy was validated under,
+    # and e.g. kinetics_5shot's protocol is prototype-mean, not max.
+    metric = args.metric or preset.eval.metric
+    fusion = args.fusion or preset.eval.fusion
     store = FeatureStore(args.store)
     table = store.to_table()
     class_names = store.class_names
-    feats = np.asarray(table.features)  # [N, M, D]
-    counts = np.asarray(table.counts)
-    mask = (np.arange(feats.shape[1])[None, :] < counts[:, None]).astype(
-        np.float32
-    )
-    if args.embodied:
-        if not args.virtual_store:
-            raise SystemExit("--virtual-store required for --embodied")
-        vstore = FeatureStore(args.virtual_store)
-        virtual = align_virtual_bank(
-            class_names, vstore.class_names, vstore.to_table()
+    if args.embodied and not args.virtual_store:
+        raise SystemExit("--virtual-store required for --embodied")
+    vstore = FeatureStore(args.virtual_store) if args.embodied else None
+    try:
+        feats, mask = union_support(
+            table, class_names,
+            vstore.class_names if vstore else None,
+            vstore.to_table() if vstore else None,
         )
-        vf, vc = np.asarray(virtual.features), np.asarray(virtual.counts)
-        if vf.shape[-1] != feats.shape[-1]:
-            raise SystemExit(
-                f"real ({feats.shape[-1]}-d) and virtual ({vf.shape[-1]}-d) "
-                "features come from different backbones; re-extract one side"
-            )
-        vmask = (np.arange(vf.shape[1])[None, :] < vc[:, None]).astype(
-            np.float32
-        )
-        feats = np.concatenate([feats, vf], axis=1)
-        mask = np.concatenate([mask, vmask], axis=1)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
     # Featurize the queries through the production extract pipeline (same
     # preprocessing + backbone program as the support features should have
@@ -447,16 +450,23 @@ def cmd_classify(args) -> int:
     ids = sorted(qfeats.keys())
     q = np.stack([qfeats[v][0] for v in ids])  # [Q, D]
     scores = np.asarray(
-        sim.fused_class_scores(
-            q, feats, mask, metric=args.metric or "cosine",
-            fusion=args.fusion or "max",
-        )
+        sim.fused_class_scores(q, feats, mask, metric=metric, fusion=fusion)
     )  # [Q, N]
     preds = scores.argmax(axis=-1)
 
     metrics = MetricsWriter(args.metrics)
     metrics.write("config", command="classify", config=resolved_dict(cfg),
-                  n_support_classes=len(class_names), n_queries=len(ids))
+                  metric=metric, fusion=fusion,
+                  n_support_classes=len(class_names), n_queries=len(ids),
+                  failed=stats["failed"])
+    if stats["failed"]:
+        # Always surface drops — unlabeled deployment runs have no
+        # accuracy summary to carry the count.
+        print(
+            f"warning: {stats['failed']} of {stats['total']} query clips "
+            "failed to decode and are missing from the output",
+            file=sys.stderr,
+        )
     out_f = open(args.out, "w") if getattr(args, "out", None) else None
     try:
         for i, vid in enumerate(ids):
@@ -722,6 +732,11 @@ def cmd_store_info(args) -> int:
 
     from eov_tpu.data.store import FeatureStore
 
+    if not os.path.isdir(args.store):
+        # Read-only command: must not create the root (FeatureStore's
+        # constructor does) or report a plausible all-zero summary for a
+        # typo'd path.
+        raise SystemExit(f"no feature store at {args.store}")
     store = FeatureStore(args.store)
     videos = store._merged_videos()
     shards = sorted(_glob.glob(os.path.join(args.store, "shard_*.npz")))

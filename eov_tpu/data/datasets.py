@@ -138,6 +138,7 @@ class VideoFileDataset:
         root: str,
         split: Sequence[tuple[str, int, int]] | None = None,
         class_names: Sequence[str] | None = None,
+        only_classes: Sequence[str] | None = None,
     ):
         self.root = root
         if split is None:
@@ -145,6 +146,13 @@ class VideoFileDataset:
                 d for d in os.listdir(root)
                 if os.path.isdir(os.path.join(root, d))
             )
+            if only_classes is not None:
+                # Restrict DISCOVERY (not just labels): construction probes
+                # frame counts per file, so filtering before probing avoids
+                # opening every container of the classes a --class-split
+                # run is about to drop anyway.
+                keep = set(only_classes)
+                classes = [c for c in classes if c in keep]
             if classes:
                 class_names = classes
                 split = [

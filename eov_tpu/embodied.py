@@ -22,7 +22,47 @@ import numpy as np
 
 from eov_tpu.eval import FeatureTable
 
-__all__ = ["align_virtual_bank", "normalize_class_name"]
+__all__ = ["align_virtual_bank", "normalize_class_name", "union_support"]
+
+
+def union_support(
+    table: FeatureTable,
+    class_names: Sequence[str],
+    virtual_class_names: Sequence[str] | None = None,
+    virtual_table: FeatureTable | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side class-major support set (features, mask) for a whole split.
+
+    The single place that owns the table-level embodied augmentation RULE —
+    align the virtual bank to the real class axis, concat along the member
+    axis, mask by per-class counts — consumed by `eov classify`
+    (eval.eval_step applies the same rule in-jit on its gathered episode
+    layout; tests/test_eval_store.py ties the two semantics together).
+    Returns features [C, M(+V), D] float32 and mask [C, M(+V)] float32.
+    Raises on a backbone/feature-dimension mismatch between the two banks.
+    """
+    feats = np.asarray(table.features, np.float32)
+    counts = np.asarray(table.counts)
+    mask = (np.arange(feats.shape[1])[None, :] < counts[:, None]).astype(
+        np.float32
+    )
+    if virtual_table is not None:
+        bank = align_virtual_bank(
+            class_names, list(virtual_class_names or []), virtual_table
+        )
+        vf = np.asarray(bank.features, np.float32)
+        vc = np.asarray(bank.counts)
+        if vf.shape[-1] != feats.shape[-1]:
+            raise ValueError(
+                f"real ({feats.shape[-1]}-d) and virtual ({vf.shape[-1]}-d) "
+                "features come from different backbones; re-extract one side"
+            )
+        vmask = (np.arange(vf.shape[1])[None, :] < vc[:, None]).astype(
+            np.float32
+        )
+        feats = np.concatenate([feats, vf], axis=1)
+        mask = np.concatenate([mask, vmask], axis=1)
+    return feats, mask
 
 
 def normalize_class_name(name: str) -> str:

@@ -292,11 +292,18 @@ def _flat_params_and_specs(blocks, dtype):
     flat_params, in_specs = [], []
     for b in blocks:
         # Canonical key order shared by both chain kernels' ref consumption:
-        # bottleneck w1,b1,w2,b2,w3,b3[,wd,bd]; basic w1,b1,w2,b2.
-        names = tuple(
-            k for k in ("w1", "b1", "w2", "b2", "w3", "b3", "wd", "bd")
-            if k in b
-        )
+        # bottleneck w1,b1,w2,b2,w3,b3[,wd,bd]; basic w1,b1,w2,b2. A block
+        # missing a required key must fail HERE — the kernels consume refs
+        # positionally, so a silently shortened param list would walk the
+        # ref stream into the out/scratch refs and return garbage.
+        names = ("w1", "b1", "w2", "b2")
+        if "w3" in b or "b3" in b:
+            names += ("w3", "b3")
+        if "wd" in b or "bd" in b:
+            names += ("wd", "bd")
+        missing = [k for k in names if k not in b]
+        if missing:
+            raise KeyError(f"block is missing kernel params {missing}")
         for k in names:
             arr = b[k]
             arr = arr.astype(jnp.float32 if k.startswith("b") else dtype)

@@ -447,6 +447,18 @@ def one_shot_validate(
     return eov_eval.evaluate(table, evc)
 
 
+def _tsn_train_indices(rng, num_frames: int, k: int):
+    """Host-side TSN train-rule segment sampling (C2): one random frame per
+    equal segment; short clips draw k sorted random frames. ONE definition —
+    the pod and single-process epoch loops must stay bit-identical."""
+    import numpy as np
+
+    avg = num_frames // k
+    if avg > 0:
+        return np.arange(k) * avg + rng.integers(0, avg, size=k)
+    return np.sort(rng.integers(0, num_frames, size=k))
+
+
 def train_epoch_synthetic(
     state: TrainState,
     step_fn: Callable,
@@ -511,6 +523,20 @@ def train_epoch_synthetic(
     def run_step(clips, labels):
         nonlocal state, last, n_steps, key
         if multi:
+            if n_steps == 0:
+                # Cross-host resolution agreement: the per-host shape0
+                # check below can pass on every host individually while a
+                # resolution split correlated with batch position gives
+                # hosts DIFFERENT shapes — which would trace different
+                # pjit programs and hang the collectives. Agree loudly
+                # first (max == min over hosts).
+                code = shape0[0] * 131072 + shape0[1]
+                if dist.global_max(code) != -dist.global_max(-code):
+                    raise ValueError(
+                        "pod training: hosts decoded different frame "
+                        f"resolutions (this host: {shape0}) — "
+                        "resolution-normalize the storage (pack_eovc)"
+                    )
             frames = dist.host_batch_to_global(mesh, np.stack(clips))
             labels_j = dist.host_batch_to_global(
                 mesh, np.array(labels, np.int32)
@@ -532,13 +558,10 @@ def train_epoch_synthetic(
         samples = []  # (record_index, sampled idx) per global position
         for i in order:
             r = dataset.records[i]
-            k = cfg.num_segments
-            avg = r.num_frames // k
-            if avg > 0:
-                idx = np.arange(k) * avg + rng.integers(0, avg, size=k)
-            else:
-                idx = np.sort(rng.integers(0, r.num_frames, size=k))
-            samples.append((int(i), idx))
+            samples.append(
+                (int(i), _tsn_train_indices(rng, r.num_frames,
+                                            cfg.num_segments))
+            )
         n0 = n % b
         if n0:
             tail = samples[n - n0:]
@@ -573,13 +596,7 @@ def train_epoch_synthetic(
 
     for i in order:
         r = dataset.records[i]
-        # Host-side TSN random sampling (train rule, C2).
-        k = cfg.num_segments
-        avg = r.num_frames // k
-        if avg > 0:
-            idx = np.arange(k) * avg + rng.integers(0, avg, size=k)
-        else:
-            idx = np.sort(rng.integers(0, r.num_frames, size=k))
+        idx = _tsn_train_indices(rng, r.num_frames, cfg.num_segments)
         clip = dataset.get_frames(r, idx)
         n_clips += 1
         clips, labels = buckets.setdefault(clip.shape[1:3], ([], []))

@@ -131,3 +131,15 @@ def test_pack_basic_rejects_projection_and_widening():
     }
     with pytest.raises(ValueError, match="Cin == Cout"):
         pack_basic_params(bad)
+
+
+def test_incomplete_block_dict_fails_loudly():
+    """A block missing a required kernel param must KeyError at flatten
+    time — the kernels consume refs positionally, so a silently shortened
+    param list would walk into the out/scratch refs."""
+    rng = np.random.default_rng(9)
+    blocks = _mk_blocks(rng, 16, 1)
+    del blocks[0]["b2"]
+    x = jnp.zeros((1, 35, 16), jnp.float32)
+    with pytest.raises(KeyError, match="b2"):
+        fused_basic_stack(x, blocks, h=5, w=7, interpret=True)

@@ -33,3 +33,15 @@ def test_store_info_merged_multiwriter(tmp_path, capsys):
     assert info["empty_classes"] == 1
     assert info["clips_per_class_min"] == 0
     assert info["clips_per_class_max"] == 3
+
+
+def test_store_info_refuses_missing_path(tmp_path, capsys):
+    import os
+
+    import pytest
+
+    missing = str(tmp_path / "nope")
+    with pytest.raises(SystemExit, match="no feature store"):
+        cli.main(["store-info", "--store", missing])
+    assert not os.path.exists(missing)  # read-only: nothing created
+    capsys.readouterr()

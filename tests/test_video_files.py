@@ -124,3 +124,9 @@ def test_pack_eovc_from_videodir_roundtrip(video_root, tmp_path):
     want = resize_short_side_np(src.get_frames(rec, idx), 32)
     got = packed.get_frames(by_id[rec.video_id], idx)
     np.testing.assert_array_equal(got, want)
+
+
+def test_only_classes_restricts_discovery_and_probing(video_root):
+    ds = VideoFileDataset(video_root, only_classes=["class_b"])
+    assert ds.class_names == ["class_b"]
+    assert len(ds.records) == 2 and {r.label for r in ds.records} == {0}
