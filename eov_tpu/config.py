@@ -85,6 +85,15 @@ PRESETS: dict[str, Preset] = {
             extract=ExtractConfig(num_segments=8),
         ),
         Preset(
+            name="kinetics_10k",
+            description="CMN-lineage long protocol: 10,000 episodes "
+                        "(OPEN-2 — some lineage papers evaluate 10k-20k; "
+                        "~34 ms of device time at the measured 297k eps/s)",
+            eval=EvalConfig(n_way=5, k_shot=1, n_query=1, n_episodes=10_000,
+                            episodes_per_step=64),
+            extract=ExtractConfig(num_segments=8),
+        ),
+        Preset(
             name="synthetic_smoke",
             description="Dev: tiny synthetic end-to-end on CPU",
             eval=EvalConfig(n_way=3, k_shot=1, n_query=2, n_episodes=30,

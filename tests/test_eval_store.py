@@ -427,3 +427,23 @@ def test_kinetics_5shot_preset_protocol_shape():
     p = get_preset("kinetics_5shot")
     assert p.eval.k_shot == 5 and p.eval.n_way == 5
     assert p.eval.n_episodes == 600 and p.eval.fusion == "mean"
+
+
+def test_long_protocol_10k_episodes(tmp_path):
+    """OPEN-2 coverage: the CMN-lineage 10k-episode protocol runs as one
+    compiled program (padded tail steps) and its first 600 episodes are
+    bit-identical to the 600-episode protocol's — the canonical ordinal
+    sampling makes episode count a pure suffix extension."""
+    rng = np.random.default_rng(4)
+    feats = jnp.asarray(rng.standard_normal((8, 4, 16)).astype(np.float32))
+    table = eov_eval.FeatureTable(feats, jnp.full((8,), 4, jnp.int32))
+    from eov_tpu.config import get_preset
+
+    cfg = get_preset("kinetics_10k").eval
+    assert cfg.n_episodes == 10_000
+    long = eov_eval.evaluate(table, cfg)
+    assert long.per_episode.shape == (10_000,)
+    short = eov_eval.evaluate(
+        table, eov_eval.EvalConfig(**{**cfg.__dict__, "n_episodes": 600})
+    )
+    np.testing.assert_array_equal(long.per_episode[:600], short.per_episode)
