@@ -415,8 +415,12 @@ def cmd_classify(args) -> int:
     metric = args.metric or preset.eval.metric
     fusion = args.fusion or preset.eval.fusion
     store = FeatureStore(args.store)
-    table = store.to_table()
     class_names = store.class_names
+    # Pad the table to the full class axis: a trailing class with no
+    # extracted clips must stay a masked row (count 0), not shrink the
+    # table — the virtual-bank concat and the prediction class axis both
+    # index class_names.
+    table = store.to_table(n_classes=len(class_names) or None)
     if args.embodied and not args.virtual_store:
         raise SystemExit("--virtual-store required for --embodied")
     vstore = FeatureStore(args.virtual_store) if args.embodied else None
@@ -449,9 +453,17 @@ def cmd_classify(args) -> int:
 
     ids = sorted(qfeats.keys())
     q = np.stack([qfeats[v][0] for v in ids])  # [Q, D]
-    scores = np.asarray(
+    scores = np.array(  # writable copy: ineligible classes masked below
         sim.fused_class_scores(q, feats, mask, metric=metric, fusion=fusion)
     )  # [Q, N]
+    # Classes with NO support members (real or virtual) are not assignable:
+    # fusion='mean' would otherwise score the zero prototype (0 cosine can
+    # beat every real class for an orthogonal-ish query) — the eval
+    # harness's eligibility guard (eval.py) applied to classification.
+    eligible = np.asarray(mask).sum(axis=1) > 0
+    if not eligible.any():
+        raise SystemExit("support store has no classes with any clips")
+    scores[:, ~eligible] = -np.inf
     preds = scores.argmax(axis=-1)
 
     metrics = MetricsWriter(args.metrics)
@@ -570,6 +582,7 @@ def cmd_train(args) -> int:
         lr=args.lr or 0.001,
         scale_size=args.scale_size or 256,
         crop_size=args.crop_size or 224,
+        seed=args.seed,
     )
     # Meta-val dataset for per-epoch one-shot model selection (the
     # reference lineage's rule): same dataset source, the val class
@@ -694,6 +707,7 @@ def cmd_test(args) -> int:
         batch_clips=args.batch or 8,
         scale_size=args.scale_size or 256,
         crop_size=args.crop_size or 224,
+        seed=args.seed,
     )
     state = eov_train.create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
     if args.params:
@@ -726,10 +740,6 @@ def cmd_store_info(args) -> int:
     manifests); this prints the merged view one JSON line — what resumes,
     what evals, and how big it is on disk.
     """
-    import glob as _glob
-
-    import numpy as np
-
     from eov_tpu.data.store import FeatureStore
 
     if not os.path.isdir(args.store):
@@ -737,33 +747,7 @@ def cmd_store_info(args) -> int:
         # constructor does) or report a plausible all-zero summary for a
         # typo'd path.
         raise SystemExit(f"no feature store at {args.store}")
-    store = FeatureStore(args.store)
-    videos = store._merged_videos()
-    shards = sorted(_glob.glob(os.path.join(args.store, "shard_*.npz")))
-    manifests = _glob.glob(os.path.join(args.store, "manifest*.json"))
-    labels = [v["label"] for v in videos.values()]
-    per_class = np.bincount(
-        labels, minlength=len(store.class_names) or 0
-    ) if labels else np.zeros(0, np.int64)
-    dim = None
-    if videos:
-        vid = next(iter(videos))
-        with np.load(os.path.join(args.store, videos[vid]["shard"])) as z:
-            dim = int(z[vid].shape[-1])
-    info = {
-        "store": args.store,
-        "clips": len(videos),
-        "classes": len(store.class_names),
-        "feature_dim": dim,
-        "dtype": store.dtype.name,
-        "shards": len(shards),
-        "writers": len(manifests) or 1,
-        "bytes": int(sum(os.path.getsize(p) for p in shards)),
-        "clips_per_class_min": int(per_class.min()) if len(per_class) else 0,
-        "clips_per_class_max": int(per_class.max()) if len(per_class) else 0,
-        "empty_classes": int((per_class == 0).sum()) if len(per_class) else 0,
-    }
-    print(json.dumps(info))
+    print(json.dumps(FeatureStore(args.store).summary()))
     return 0
 
 

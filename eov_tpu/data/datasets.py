@@ -152,7 +152,17 @@ class VideoFileDataset:
                 # opening every container of the classes a --class-split
                 # run is about to drop anyway.
                 keep = set(only_classes)
-                classes = [c for c in classes if c in keep]
+                found = [c for c in classes if c in keep]
+                if classes and not found:
+                    # A split/directory name mismatch must not fall through
+                    # to the flat-root deployment branch below.
+                    raise FileNotFoundError(
+                        f"none of the {len(keep)} requested classes match "
+                        f"the {len(classes)} class directories under "
+                        f"{root} (e.g. have {classes[:3]}, "
+                        f"want {sorted(keep)[:3]})"
+                    )
+                classes = found
             if classes:
                 class_names = classes
                 split = [

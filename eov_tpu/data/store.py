@@ -217,6 +217,43 @@ class FeatureStore:
                     )
         return out
 
+    def summary(self) -> dict:
+        """Merged multi-writer store summary (ops tooling, `eov store-info`).
+
+        Lives here so the shard/manifest naming scheme and the merged-view
+        semantics stay in ONE module; clips/shards/writers/bytes counts
+        come from the same discovery logic the read path uses.
+        """
+        videos = self._merged_videos()
+        shards = sorted(glob.glob(os.path.join(self.root, "shard_*.npz")))
+        manifests = glob.glob(os.path.join(self.root, "manifest*.json"))
+        labels = [v["label"] for v in videos.values()]
+        n_classes = len(self.class_names)
+        per_class = (
+            np.bincount(labels, minlength=n_classes)
+            if labels else np.zeros(n_classes, np.int64)
+        )
+        dim = None
+        if videos:
+            vid = next(iter(videos))
+            with np.load(os.path.join(self.root, videos[vid]["shard"])) as z:
+                dim = int(z[vid].shape[-1])
+        return {
+            "store": self.root,
+            "clips": len(videos),
+            "classes": n_classes,
+            "feature_dim": dim,
+            "dtype": self.dtype.name,
+            "shards": len(shards),
+            "writers": len(manifests) or 1,
+            "bytes": int(sum(os.path.getsize(p) for p in shards)),
+            "clips_per_class_min":
+                int(per_class.min()) if len(per_class) else 0,
+            "clips_per_class_max":
+                int(per_class.max()) if len(per_class) else 0,
+            "empty_classes": int((per_class == 0).sum()),
+        }
+
     def to_table(self, n_classes: int | None = None) -> FeatureTable:
         """Padded class-major [C, M, D] FeatureTable + [C] counts for eval."""
         data = self.load_all()

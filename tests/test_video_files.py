@@ -130,3 +130,8 @@ def test_only_classes_restricts_discovery_and_probing(video_root):
     ds = VideoFileDataset(video_root, only_classes=["class_b"])
     assert ds.class_names == ["class_b"]
     assert len(ds.records) == 2 and {r.label for r in ds.records} == {0}
+
+
+def test_only_classes_mismatch_raises(video_root):
+    with pytest.raises(FileNotFoundError, match="requested classes"):
+        VideoFileDataset(video_root, only_classes=["Class_A"])  # wrong case
