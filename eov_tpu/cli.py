@@ -252,6 +252,10 @@ def cmd_extract(args) -> int:
 
     if args.arch:
         cfg = _dc.replace(cfg, arch=args.arch)
+    if getattr(args, "num_segments", None):
+        cfg = _dc.replace(cfg, num_segments=args.num_segments)
+    if getattr(args, "batch", None):
+        cfg = _dc.replace(cfg, batch_clips=args.batch)
     if getattr(args, "fused_stages", None) is not None:
         spec = args.fused_stages
         if spec == "auto":
@@ -832,6 +836,15 @@ def main(argv=None) -> int:
 
     add("extract", cmd_extract,
         **{"--store": {"required": True},
+           "--num-segments": {
+               "type": int, "dest": "num_segments", "default": None,
+               "help": "TSN segments per clip K (default: the preset's, "
+                       "usually 8 — the reference's num_segments flag)",
+           },
+           "--batch": {
+               "type": int, "default": None,
+               "help": "clips per device batch (default: the preset's)",
+           },
            "--select": {
                "choices": ("latest", "best"), "default": "latest",
                "help": "when --params is a train-run dir: newest epoch "
