@@ -260,24 +260,30 @@ void* eovc_open(const char* path, int n_threads) {
     return nullptr;
   }
   L->store.base = static_cast<const uint8_t*>(p);
-  std::memcpy(&L->store.hdr, L->store.base, sizeof(Header));
-  if (L->store.hdr.magic != kMagic || L->store.hdr.version != 1) {
-    munmap(p, L->store.size);
-    close(L->store.fd);
-    delete L;
-    return nullptr;
-  }
-  // Parse index (bounds-checked against the mapped file: a truncated or
-  // corrupt shard must fail open, not read out of bounds).
-  const uint8_t* q = L->store.base + L->store.hdr.index_off;
-  const uint8_t* end = L->store.base + L->store.size;
   auto fail = [&]() -> void* {
     munmap(p, L->store.size);
     close(L->store.fd);
     delete L;
     return nullptr;
   };
+  if (L->store.size < sizeof(Header)) return fail();
+  std::memcpy(&L->store.hdr, L->store.base, sizeof(Header));
+  if (L->store.hdr.magic != kMagic || L->store.hdr.version != 1)
+    return fail();
+  // Parse index (bounds-checked against the mapped file: a truncated or
+  // corrupt shard must fail open, not read out of bounds). Order matters:
+  // index_off is validated BEFORE forming the index pointer, and n_clips
+  // is bounded by the bytes the index region could possibly hold BEFORE
+  // the resize — a corrupt n_clips (e.g. a flipped high byte) would
+  // otherwise make vector::resize throw bad_alloc/length_error across the
+  // extern "C" boundary and terminate the process (found by the r3
+  // byte-flip fuzz test).
   if (L->store.hdr.index_off > L->store.size) return fail();
+  if (L->store.hdr.n_clips >
+      (L->store.size - L->store.hdr.index_off) / sizeof(ClipMetaFixed))
+    return fail();
+  const uint8_t* q = L->store.base + L->store.hdr.index_off;
+  const uint8_t* end = L->store.base + L->store.size;
   L->store.clips.resize(L->store.hdr.n_clips);
   for (uint64_t i = 0; i < L->store.hdr.n_clips; ++i) {
     ClipMeta& m = L->store.clips[i];
