@@ -105,6 +105,15 @@ class EovcReader:
         (magic, ver, n_clips, index_off, self.h, self.w, self.codec) = _HDR.unpack_from(data, 0)
         if magic != EOVC_MAGIC or ver != 1:
             raise ValueError(f"not an EOVC v1 file: {path}")
+        # Same dimension-sanity bound as the native loader (clip_loader.cc):
+        # readers size output buffers from h/w, so a corrupt header must
+        # fail open rather than become an allocation bomb at read time.
+        if self.h <= 0 or self.w <= 0 or self.h * self.w > (1 << 26):
+            raise ValueError(
+                f"EOVC header has implausible frame dims {self.h}x{self.w}"
+            )
+        if n_clips > max(0, len(data) - index_off) // _CLIP_FIXED.size:
+            raise ValueError("EOVC index is larger than the file")
         self.clips: list[ClipInfo] = []
         off = index_off
         for _ in range(n_clips):

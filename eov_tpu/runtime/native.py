@@ -42,8 +42,11 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    path = build_native()
-    if path is None:
+    # EOV_NATIVE_LIB overrides the library path (instrumented builds:
+    # tests/test_native_asan.py points this at libeovc_asan.so under an
+    # LD_PRELOADed AddressSanitizer runtime).
+    path = os.environ.get("EOV_NATIVE_LIB") or build_native()
+    if path is None or not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)
     lib.eovc_open.restype = ctypes.c_void_p

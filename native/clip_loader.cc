@@ -270,6 +270,13 @@ void* eovc_open(const char* path, int n_threads) {
   std::memcpy(&L->store.hdr, L->store.base, sizeof(Header));
   if (L->store.hdr.magic != kMagic || L->store.hdr.version != 1)
     return fail();
+  // Frame-dimension sanity: callers size their output buffers from h/w,
+  // so a corrupt header must not pass open and turn a later load into a
+  // multi-hundred-GB allocation bomb (found by the ASAN fuzz test). 2^26
+  // pixels (~200 MB/frame RGB) is far beyond any real video frame.
+  if (L->store.hdr.h == 0 || L->store.hdr.w == 0 ||
+      static_cast<uint64_t>(L->store.hdr.h) * L->store.hdr.w > (1u << 26))
+    return fail();
   // Parse index (bounds-checked against the mapped file: a truncated or
   // corrupt shard must fail open, not read out of bounds). Order matters:
   // index_off is validated BEFORE forming the index pointer, and n_clips
