@@ -409,10 +409,16 @@ def cmd_classify(args) -> int:
 
     preset = get_preset(args.preset)
     cfg = preset.extract
-    if args.arch:
-        import dataclasses as _dc
+    import dataclasses as _dc
 
+    if args.arch:
         cfg = _dc.replace(cfg, arch=args.arch)
+    # Query featurization must match how the SUPPORT store was extracted —
+    # mirror extract's override surface.
+    if getattr(args, "num_segments", None):
+        cfg = _dc.replace(cfg, num_segments=args.num_segments)
+    if getattr(args, "batch", None):
+        cfg = _dc.replace(cfg, batch_clips=args.batch)
     # Matcher rules default to the PRESET's eval protocol (flags override):
     # classify promises the rules the store's accuracy was validated under,
     # and e.g. kinetics_5shot's protocol is prototype-mean, not max.
@@ -910,6 +916,16 @@ def main(argv=None) -> int:
         **{
             "--store": {"required": True,
                         "help": "support feature store (one-shot examples)"},
+            "--num-segments": {
+                "type": int, "dest": "num_segments", "default": None,
+                "help": "TSN segments per query clip (must match how the "
+                        "support store was extracted; default: the "
+                        "preset's)",
+            },
+            "--batch": {
+                "type": int, "default": None,
+                "help": "query clips per device batch",
+            },
             "--select": {
                 "choices": ("latest", "best"), "default": "latest",
                 "help": "when --params is a train-run dir: newest epoch "
