@@ -128,9 +128,9 @@ def main() -> None:
     ) + (f"+fs{''.join(map(str, fused_resolved))}" if fused_resolved else "") + (
         f"+g{fgroup}" if fgroup > 1 and fused_resolved else ""
     ) + (
-        # 'fused' only actually pools in-stack when stage 1 is fused;
-        # otherwise folded_feature_apply falls back to the standalone
-        # kernel — label what ran, not what was asked for.
+        # 'fused' pools in-stack and REQUIRES stage 1 fused
+        # (folded_feature_apply refuses otherwise, so a '+poolfs' label
+        # always means the pool actually ran in-stack).
         "+poolfs" if ppool == "fused" and 1 in fused_resolved
         else "+ppool" if ppool and fused_resolved else ""
     )

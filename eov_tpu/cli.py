@@ -569,6 +569,17 @@ def cmd_episode(args) -> int:
     return 0
 
 
+def _val_split_spec(spec: str) -> str:
+    """Normalize a --val-class-split spec to default the partition to 'val'.
+
+    Covers both the bare form 'path.json' AND the trailing-colon form
+    'path.json:' — either would otherwise hit _load_dataset's bare-part
+    default of 'test' and silently select models on the meta-TEST classes.
+    """
+    path, _, part = spec.partition(":")
+    return f"{path}:{part or 'val'}"
+
+
 def cmd_train(args) -> int:
     _setup_platform(args)
     if args.multichip:
@@ -599,9 +610,7 @@ def cmd_train(args) -> int:
     # partition — disjoint classes from the meta-train ones above.
     val_dataset = None
     if getattr(args, "val_class_split", None):
-        spec = args.val_class_split
-        if ":" not in spec:
-            spec += ":val"  # _load_dataset's bare-spec default is 'test'
+        spec = _val_split_spec(args.val_class_split)
         vargs = argparse.Namespace(**{**vars(args), "class_split": spec})
         val_dataset = _load_dataset(vargs)
     import os

@@ -153,20 +153,15 @@ class _ClassFilteredDataset:
         # and advertising `out=` over an out-less base would turn every
         # pooled call into a TypeError + per-record retry.
         if hasattr(base, "get_batch"):
-            import inspect
+            from eov_tpu.data.datasets import get_batch_accepts_out
 
-            try:
-                sig = inspect.signature(base.get_batch).parameters
-                base_out = "out" in sig or any(
-                    p.kind is inspect.Parameter.VAR_KEYWORD
-                    for p in sig.values()
-                )
-            except (TypeError, ValueError):  # C callables w/o signatures
-                base_out = True
-            self.get_batch = (
-                self._pooled_get_batch if base_out
-                else self._pooled_get_batch_no_out
-            )
+            self._base_out = get_batch_accepts_out(base.get_batch)
+            if self._base_out is None:  # un-introspectable: probe+settle
+                self.get_batch = self._pooled_get_batch_probe
+            elif self._base_out:
+                self.get_batch = self._pooled_get_batch
+            else:
+                self.get_batch = self._pooled_get_batch_no_out
 
     def get_frames(self, record, indices):
         return self._base.get_frames(record, indices)
@@ -176,6 +171,27 @@ class _ClassFilteredDataset:
 
     def _pooled_get_batch_no_out(self, records, indices):
         return self._base.get_batch(records, indices)
+
+    def _pooled_get_batch_probe(self, records, indices, out=None):
+        # Base get_batch signature was un-introspectable: the first call
+        # with a real buffer probes `out=` and SETTLES the answer (the
+        # same probe policy extract.py applies directly — see
+        # get_batch_accepts_out). The answer is cached in _base_out, NOT
+        # by rebinding self.get_batch to an out-less method: callers that
+        # already introspected THIS wrapper keep passing out=, so its
+        # signature must stay stable for the object's lifetime. The
+        # rejected probe's batch is retried out-less — no batch is lost.
+        if out is None or self._base_out is False:
+            return self._base.get_batch(records, indices)
+        if self._base_out:
+            return self._base.get_batch(records, indices, out=out)
+        try:
+            arr = self._base.get_batch(records, indices, out=out)
+        except TypeError:
+            self._base_out = False
+            return self._base.get_batch(records, indices)
+        self._base_out = True
+        return arr
 
 
 def filter_dataset_by_classes(dataset, keep: Sequence[str]):

@@ -55,6 +55,27 @@ class VideoDataset(Protocol):
         ...
 
 
+def get_batch_accepts_out(fn) -> bool | None:
+    """Does a pooled ``get_batch`` accept the ``out=`` buffer-ring kwarg?
+
+    Single source of truth for the feature-detection rule shared by
+    extract.py and data/class_splits.py (they must agree, or a filtered
+    wrapper could advertise a form its base rejects). Returns None when
+    the signature cannot be introspected (C callables) — the CALLER
+    decides the probe policy; guessing here would either silently drop
+    the buffer ring or turn every pooled call into a TypeError retry.
+    """
+    import inspect
+
+    try:
+        params = inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return None
+    return "out" in params or any(
+        p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+    )
+
+
 class SyntheticVideoDataset:
     """Procedural fixture dataset (SURVEY.md §2d) — deterministic, no IO."""
 
@@ -153,7 +174,18 @@ class VideoFileDataset:
                 # run is about to drop anyway.
                 keep = set(only_classes)
                 found = [c for c in classes if c in keep]
-                if classes and not found:
+                if not classes:
+                    # A labeled run (--class-split) against a root with NO
+                    # class directories must not fall through to the
+                    # flat-root deployment branch: every file would be
+                    # ingested as pseudo-class 'unknown' label 0.
+                    raise FileNotFoundError(
+                        f"{root} has no class subdirectories but "
+                        f"{len(keep)} classes were requested (labeled "
+                        "runs need <root>/<class>/<video> layout; the "
+                        "flat-root form is for unlabeled classify only)"
+                    )
+                if not found:
                     # A split/directory name mismatch must not fall through
                     # to the flat-root deployment branch below.
                     raise FileNotFoundError(

@@ -22,9 +22,9 @@ TPU-first (BASELINE.json:5,11):
 from __future__ import annotations
 
 import dataclasses
-import inspect
 import logging
 import threading
+from collections import OrderedDict
 from typing import Callable, Sequence
 
 import jax
@@ -116,18 +116,23 @@ def resolve_fused_stages(
 # buffers are munmapped on free (glibc), so a per-batch np.empty pays
 # first-touch page faults every step — measured ~35 MB/s on the dev VM —
 # and production input pipelines want a pinned ring regardless. Keyed by
-# batch shape, capped at the pipeline depth actually used so a long-lived
-# process cycling through many batch shapes can't retain unbounded dead
-# buffers; locked so concurrent extract_features calls can't race the
-# per-shape stacks.
-_HOST_BUFS: dict[tuple, list] = {}
+# batch shape, capped at the pipeline depth actually used; LRU across
+# shapes so a long-lived process cycling through many batch shapes
+# (resolution buckets, tail batches) retains at most CAP×SHAPES dead
+# buffers, not one stack per shape ever seen; locked so concurrent
+# extract_features calls can't race the per-shape stacks.
+_HOST_BUFS: "OrderedDict[tuple, list]" = OrderedDict()
 _HOST_BUFS_LOCK = threading.Lock()
 _HOST_BUFS_CAP = 3  # buffers retained per batch shape
+_HOST_BUFS_SHAPES = 4  # distinct shapes retained (least-recent evicted)
 
 
 def _take_buf(shape: tuple):
     with _HOST_BUFS_LOCK:
         stack = _HOST_BUFS.get(shape)
+        if stack is None:
+            return None
+        _HOST_BUFS.move_to_end(shape)  # mark live even while all taken
         return stack.pop() if stack else None
 
 
@@ -136,6 +141,9 @@ def _put_buf(buf: np.ndarray) -> None:
         stack = _HOST_BUFS.setdefault(buf.shape, [])
         if len(stack) < _HOST_BUFS_CAP:
             stack.append(buf)
+        _HOST_BUFS.move_to_end(buf.shape)
+        while len(_HOST_BUFS) > _HOST_BUFS_SHAPES:
+            _HOST_BUFS.popitem(last=False)
 
 
 def _center_indices_np(num_frames: int, k: int) -> np.ndarray:
@@ -286,23 +294,26 @@ def extract_features(
     # Decide up front whether get_batch takes `out=` (buffer-ring reuse) —
     # introspection instead of try/except TypeError, which would also
     # swallow genuine TypeErrors raised INSIDE an out-accepting get_batch
-    # and silently re-decode every batch without the ring.
-    accepts_out = False
+    # and silently re-decode every batch without the ring. For
+    # un-introspectable signatures (C callables) the first pooled call
+    # probes out= and SETTLES the answer: a rejected probe retries that
+    # same batch out-less and pins the out-less form for the rest of the
+    # run, so the pooled fast path is never permanently lost to the
+    # per-record fallback.
+    accepts_out = probe_out = False
     if can_pool:
-        try:
-            sig = inspect.signature(dataset.get_batch).parameters
-            accepts_out = "out" in sig or any(
-                p.kind is inspect.Parameter.VAR_KEYWORD
-                for p in sig.values()
-            )
-        except (TypeError, ValueError):  # C callables without signatures
-            accepts_out = True  # first call settles it loudly if wrong
+        from eov_tpu.data.datasets import get_batch_accepts_out
+
+        known = get_batch_accepts_out(dataset.get_batch)
+        accepts_out = True if known is None else known
+        probe_out = known is None
 
     def _decode_batch(batch: list[VideoRecord], out_buf=None):
         """Returns (ok_records, clips) — clips is the stacked [B, K, H, W,
         3] array itself on the pooled path (no per-clip split + re-stack:
         that cost a full extra host copy + a fresh buffer per batch), or a
         list of per-clip arrays on the fallback path."""
+        nonlocal accepts_out, probe_out
         if can_pool:
             try:
                 idx = np.stack([
@@ -310,7 +321,18 @@ def extract_features(
                     for r in batch
                 ])
                 if accepts_out:
-                    arr = dataset.get_batch(batch, idx, out=out_buf)
+                    try:
+                        arr = dataset.get_batch(batch, idx, out=out_buf)
+                    except TypeError:
+                        if not probe_out:
+                            raise  # genuine error inside an out-accepting
+                            # loader: surface via the per-record fallback
+                        probe_out = accepts_out = False
+                        log.info("get_batch rejected out=; settling on "
+                                 "the out-less pooled form")
+                        arr = dataset.get_batch(batch, idx)
+                    else:
+                        probe_out = False  # out= accepted; answer settled
                 else:  # out-less custom get_batch signature
                     arr = dataset.get_batch(batch, idx)
                 return list(batch), arr

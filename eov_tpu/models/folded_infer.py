@@ -148,6 +148,16 @@ def folded_feature_apply(
     # pool into the stage-1 stack kernel's entry (requires stage 1 fused;
     # the pooled map never touches HBM).
     pool_in_stack = pallas_pool == "fused" and 1 in fused_stages
+    if pallas_pool == "fused" and not pool_in_stack:
+        # 'fused' promises the pool inside the stage-1 stack kernel; with
+        # stage 1 not fused it would silently run the STANDALONE Pallas
+        # pool (a recorded throughput regression, BASELINE.md r3) under a
+        # label the user didn't ask for.
+        raise ValueError(
+            "pallas_pool='fused' requires stage 1 in fused_stages "
+            f"(got {fused_stages!r}); use pallas_pool=True for the "
+            "standalone kernel"
+        )
     if pool_in_stack:
         pass  # pooled at the fused stage-1 entry below
     elif pallas_pool:

@@ -287,8 +287,14 @@ def _pool_stack_kernel(*refs, n_blocks, has_proj, h, w, c, dtype, group):
     )
 
 
-def _flat_params_and_specs(blocks, dtype):
-    """Flatten block params and build their resident VMEM BlockSpecs."""
+def _flat_params_and_specs(blocks, dtype, kind="bottleneck"):
+    """Flatten block params and build their resident VMEM BlockSpecs.
+
+    ``kind`` is declared by the caller ('bottleneck' or 'basic'), never
+    inferred from which keys happen to be present: a bottleneck block
+    missing BOTH w3 and b3 would otherwise be silently reclassified as a
+    basic block, shortening the flat param list by two entries.
+    """
     flat_params, in_specs = [], []
     for b in blocks:
         # Canonical key order shared by both chain kernels' ref consumption:
@@ -297,10 +303,19 @@ def _flat_params_and_specs(blocks, dtype):
         # positionally, so a silently shortened param list would walk the
         # ref stream into the out/scratch refs and return garbage.
         names = ("w1", "b1", "w2", "b2")
-        if "w3" in b or "b3" in b:
+        if kind == "bottleneck":
             names += ("w3", "b3")
-        if "wd" in b or "bd" in b:
-            names += ("wd", "bd")
+            if "wd" in b or "bd" in b:
+                names += ("wd", "bd")
+        else:
+            # _run_basic_chain consumes exactly 4 refs per block: stray
+            # bottleneck/projection keys would desync the positional walk.
+            stray = [k for k in ("w3", "b3", "wd", "bd") if k in b]
+            if stray:
+                raise KeyError(
+                    f"basic-block stack got non-basic params {stray} "
+                    "(basic chain consumes w1,b1,w2,b2 only)"
+                )
         missing = [k for k in names if k not in b]
         if missing:
             raise KeyError(f"block is missing kernel params {missing}")
@@ -449,7 +464,8 @@ def fused_basic_stack(
     g = _resolve_group(group, n)
     dtype = x.dtype
 
-    flat_params, in_specs = _flat_params_and_specs(blocks, dtype)
+    flat_params, in_specs = _flat_params_and_specs(blocks, dtype,
+                                                   kind="basic")
     in_specs.insert(0, pl.BlockSpec((g, p, c), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM))
     kernel = functools.partial(

@@ -447,3 +447,87 @@ def test_long_protocol_10k_episodes(tmp_path):
         table, eov_eval.EvalConfig(**{**cfg.__dict__, "n_episodes": 600})
     )
     np.testing.assert_array_equal(long.per_episode[:600], short.per_episode)
+
+
+def test_buffer_ring_evicts_lru_shapes():
+    """_HOST_BUFS is LRU-bounded across shapes: a process cycling through
+    many batch shapes (resolution buckets, tail batches) retains at most
+    _HOST_BUFS_SHAPES stacks, least-recently-used evicted first
+    (review r3: the per-shape cap alone left one stack per shape ever
+    seen)."""
+    cap = extract._HOST_BUFS_SHAPES
+    marks = [(7, 7, i) for i in range(cap + 2)]  # synthetic, non-colliding
+    for s in marks:
+        extract._HOST_BUFS.pop(s, None)
+    try:
+        for s in marks[:cap]:
+            extract._put_buf(np.zeros(s, np.uint8))
+        # Touch the oldest so it becomes most-recent.
+        assert extract._take_buf(marks[0]) is not None
+        extract._put_buf(np.zeros(marks[0], np.uint8))
+        # Two new shapes evict the now-least-recent marks[1], marks[2].
+        extract._put_buf(np.zeros(marks[cap], np.uint8))
+        extract._put_buf(np.zeros(marks[cap + 1], np.uint8))
+        assert marks[0] in extract._HOST_BUFS
+        assert marks[1] not in extract._HOST_BUFS
+        assert marks[2] not in extract._HOST_BUFS
+        assert marks[cap] in extract._HOST_BUFS
+        assert marks[cap + 1] in extract._HOST_BUFS
+        assert len(extract._HOST_BUFS) <= cap
+    finally:
+        for s in marks:
+            extract._HOST_BUFS.pop(s, None)
+
+
+class _Uninspectable:
+    """Callable whose signature cannot be introspected (stands in for a C
+    callable): inspect.signature raises ValueError."""
+
+    def __init__(self, fn):
+        self._fn = fn
+
+    @property
+    def __signature__(self):
+        raise ValueError("no signature")
+
+    def __call__(self, *a, **k):
+        return self._fn(*a, **k)
+
+
+def test_pooled_probe_settles_outless(tmp_path, caplog):
+    """An un-introspectable get_batch that rejects out= loses only the
+    probe attempt: the same batch is retried out-less and the out-less
+    form is pinned for the rest of the run — the pooled fast path is
+    never permanently lost to the per-record fallback (review r3)."""
+    ds = SyntheticVideoDataset(
+        n_classes=2, clips_per_class=4, height=64, width=80, seed=0,
+        name="probe",
+    )
+    pooled_calls = []
+
+    def _outless_get_batch(records, idx):
+        pooled_calls.append(len(records))
+        return np.stack([
+            ds.get_frames(r, i) for r, i in zip(records, idx)
+        ])
+
+    class Probe:
+        records = ds.records
+        class_names = ds.class_names
+        get_batch = _Uninspectable(_outless_get_batch)
+
+        def get_frames(self, rec, idx):
+            return ds.get_frames(rec, idx)
+
+    from eov_tpu.data.datasets import get_batch_accepts_out
+    assert get_batch_accepts_out(Probe.get_batch) is None
+
+    store = FeatureStore(str(tmp_path / "probe"), class_names=ds.class_names)
+    cfg = extract.ExtractConfig(num_segments=4, batch_clips=4)
+    with caplog.at_level("INFO", logger="eov.extract"):
+        stats = extract.extract_features(
+            Probe(), None, store, cfg, feature_fn=_cheap_feature_fn
+        )
+    assert stats["extracted"] == 8 and stats["failed"] == 0
+    assert pooled_calls == [4, 4]  # pooled ran once per batch, no fallback
+    assert any("settling" in r.message for r in caplog.records)

@@ -143,3 +143,16 @@ def test_incomplete_block_dict_fails_loudly():
     x = jnp.zeros((1, 35, 16), jnp.float32)
     with pytest.raises(KeyError, match="b2"):
         fused_basic_stack(x, blocks, h=5, w=7, interpret=True)
+
+
+def test_basic_stack_rejects_stray_bottleneck_keys():
+    """The basic chain consumes exactly 4 refs per block; stray bottleneck
+    or projection keys must KeyError at flatten time, not desync the
+    positional ref walk (review r3: kind is declared by the caller, never
+    inferred from which keys happen to be present)."""
+    rng = np.random.default_rng(11)
+    blocks = _mk_blocks(rng, 16, 2)
+    blocks[1]["w3"] = blocks[1]["w1"]  # e.g. a mispacked bottleneck block
+    x = jnp.zeros((1, 35, 16), jnp.float32)
+    with pytest.raises(KeyError, match="non-basic"):
+        fused_basic_stack(x, blocks, h=5, w=7, interpret=True)

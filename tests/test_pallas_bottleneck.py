@@ -197,3 +197,16 @@ def test_folded_infer_fused_generalizes_to_resnet101():
         fused_stages=(1,), fused_group=2, interpret=True,
     ))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_bottleneck_block_missing_w3_fails_loudly():
+    """A bottleneck block missing BOTH w3 and b3 must KeyError, not be
+    silently reclassified as a basic block (review r3: that shortened the
+    flat param list by two entries and walked the positional ref stream
+    into the out/scratch refs)."""
+    rng = np.random.default_rng(12)
+    blocks = _mk_blocks(rng, 16, 4, 16, 2)
+    del blocks[1]["w3"], blocks[1]["b3"]
+    x = jnp.zeros((1, 35, 16), jnp.float32)
+    with pytest.raises(KeyError, match="w3"):
+        fused_bottleneck_stack(x, blocks, h=5, w=7, interpret=True)

@@ -135,3 +135,27 @@ def test_folded_apply_pallas_pool_parity():
         interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_folded_apply_fused_pool_requires_stage1():
+    """pallas_pool='fused' promises the pool inside the stage-1 stack
+    kernel; without stage 1 fused it must refuse loudly instead of
+    silently running the standalone kernel under the 'fused' label
+    (review r3 — the standalone pool is a recorded throughput
+    regression)."""
+    import jax
+
+    from eov_tpu.models import ResNet50
+    from eov_tpu.models.folded_infer import folded_feature_apply
+    from eov_tpu.models.resnet import fold_batchnorm
+
+    variables = ResNet50(dtype=jnp.float32).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+    )
+    folded = fold_batchnorm(variables)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    with pytest.raises(ValueError, match="requires stage 1"):
+        folded_feature_apply(
+            folded, x, dtype=jnp.float32, fused_stages=(2,),
+            pallas_pool="fused", interpret=True,
+        )

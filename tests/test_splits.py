@@ -232,3 +232,54 @@ def test_make_splits_tool_and_cmn_dropin(tmp_path, monkeypatch, capsys):
     first = (d / "kinetics100_cmn.json").read_bytes()
     make_splits.main()
     assert (d / "kinetics100_cmn.json").read_bytes() == first
+
+
+def test_filter_dataset_probe_wrapper_settles():
+    """An un-introspectable base get_batch (C callable) gets the probe
+    wrapper: a stable out-accepting signature whose first real-buffer call
+    settles whether the base takes out= (review r3 — the wrapper must not
+    rebind itself out-less after callers introspected it, and must not
+    guess True and TypeError every pooled call over an out-less base)."""
+    import inspect
+
+    import numpy as np
+
+    from eov_tpu.data.datasets import SyntheticVideoDataset
+
+    ds = SyntheticVideoDataset(n_classes=3, clips_per_class=2, seed=0,
+                               height=40, width=48)
+    keep = ds.class_names[:2]
+    calls = []
+
+    def _outless(records, indices):
+        calls.append(len(records))
+        return np.zeros((len(records), 2, 4, 4, 3), np.uint8)
+
+    class _Uninspectable:
+        def __init__(self, fn):
+            self._fn = fn
+
+        @property
+        def __signature__(self):
+            raise ValueError("no signature")
+
+        def __call__(self, *a, **k):
+            return self._fn(*a, **k)
+
+    class Base:
+        class_names = ds.class_names
+        records = ds.records
+        get_frames = ds.get_frames
+        get_batch = _Uninspectable(_outless)
+
+    w = cs.filter_dataset_by_classes(Base(), keep)
+    # The wrapper's signature is stable and out-accepting for its lifetime.
+    assert "out" in inspect.signature(w.get_batch).parameters
+    buf = np.zeros((1, 2, 4, 4, 3), np.uint8)
+    idx = np.zeros((1, 2), np.int64)
+    w.get_batch(w.records[:1], idx, out=buf)  # probe: rejected, retried
+    assert calls == [1]  # the rejected probe never entered the base body;
+    # the SAME batch was retried out-less — no batch lost
+    w.get_batch(w.records[:1], idx, out=buf)  # settled: no probe attempt
+    assert calls == [1, 1]
+    assert "out" in inspect.signature(w.get_batch).parameters

@@ -124,3 +124,16 @@ def test_cli_select_best_without_validation_refuses(tmp_path, capsys):
 
     with pytest.raises(SystemExit, match="best.json"):
         cli.main(["test", *common, "--params", out_dir, "--select", "best"])
+
+
+def test_val_split_spec_defaults_partition_to_val():
+    """--val-class-split must default the partition to 'val' for both the
+    bare and trailing-colon spellings — either would otherwise hit
+    _load_dataset's bare-part default of 'test' and silently select models
+    on the meta-TEST classes (review r3)."""
+    from eov_tpu.cli import _val_split_spec
+
+    assert _val_split_spec("s.json") == "s.json:val"
+    assert _val_split_spec("s.json:") == "s.json:val"
+    assert _val_split_spec("s.json:val") == "s.json:val"
+    assert _val_split_spec("s.json:train") == "s.json:train"

@@ -135,3 +135,13 @@ def test_only_classes_restricts_discovery_and_probing(video_root):
 def test_only_classes_mismatch_raises(video_root):
     with pytest.raises(FileNotFoundError, match="requested classes"):
         VideoFileDataset(video_root, only_classes=["Class_A"])  # wrong case
+
+
+def test_labeled_run_over_flat_root_raises(tmp_path):
+    """A labeled run (--class-split) against a root with NO class
+    subdirectories must raise, not fall through to the flat-root
+    deployment branch where every file becomes pseudo-class 'unknown'
+    label 0 (review r3)."""
+    (tmp_path / "a.avi").write_bytes(b"\x00")
+    with pytest.raises(FileNotFoundError, match="no class subdirectories"):
+        VideoFileDataset(str(tmp_path), only_classes=["class_a"])
