@@ -119,6 +119,13 @@ def main() -> None:
     from eov_tpu.extract import resolve_fused_stages
 
     fused_resolved = resolve_fused_stages(fused, folded=True, arch=arch)
+    if ppool == "fused" and 1 not in fused_resolved:
+        raise SystemExit(
+            "EOV_BENCH_PALLAS_POOL=fused pools inside the stage-1 stack "
+            f"kernel, which requires stage 1 fused (EOV_BENCH_FUSED_STAGES"
+            f"={fused!r} resolved to {fused_resolved}); use "
+            "EOV_BENCH_PALLAS_POOL=1 for the standalone kernel"
+        )
     # The crop kernel only activates when the resize is an identity
     # (storage short side == scale_size) — label what actually runs, and
     # the +g suffix only applies when a fused stage exists.
@@ -128,11 +135,12 @@ def main() -> None:
     ) + (f"+fs{''.join(map(str, fused_resolved))}" if fused_resolved else "") + (
         f"+g{fgroup}" if fgroup > 1 and fused_resolved else ""
     ) + (
-        # 'fused' pools in-stack and REQUIRES stage 1 fused
-        # (folded_feature_apply refuses otherwise, so a '+poolfs' label
-        # always means the pool actually ran in-stack).
-        "+poolfs" if ppool == "fused" and 1 in fused_resolved
-        else "+ppool" if ppool and fused_resolved else ""
+        # 'fused' pools in-stack and REQUIRES stage 1 fused (enforced by
+        # the SystemExit above, so '+poolfs' always means the pool ran
+        # in-stack); `is True` keeps the truthy string 'fused' from ever
+        # wearing the standalone-kernel '+ppool' label.
+        "+poolfs" if ppool == "fused"
+        else "+ppool" if ppool is True and fused_resolved else ""
     )
     fn = make_feature_fn(params, cfg)
 

@@ -155,10 +155,10 @@ class _ClassFilteredDataset:
         if hasattr(base, "get_batch"):
             from eov_tpu.data.datasets import get_batch_accepts_out
 
-            self._base_out = get_batch_accepts_out(base.get_batch)
-            if self._base_out is None:  # un-introspectable: probe+settle
-                self.get_batch = self._pooled_get_batch_probe
-            elif self._base_out:
+            base_out = get_batch_accepts_out(base.get_batch)
+            if base_out is None:  # unknown: mirror unknown (see below)
+                self.get_batch = _SignatureOpaque(base.get_batch)
+            elif base_out:
                 self.get_batch = self._pooled_get_batch
             else:
                 self.get_batch = self._pooled_get_batch_no_out
@@ -172,26 +172,30 @@ class _ClassFilteredDataset:
     def _pooled_get_batch_no_out(self, records, indices):
         return self._base.get_batch(records, indices)
 
-    def _pooled_get_batch_probe(self, records, indices, out=None):
-        # Base get_batch signature was un-introspectable: the first call
-        # with a real buffer probes `out=` and SETTLES the answer (the
-        # same probe policy extract.py applies directly — see
-        # get_batch_accepts_out). The answer is cached in _base_out, NOT
-        # by rebinding self.get_batch to an out-less method: callers that
-        # already introspected THIS wrapper keep passing out=, so its
-        # signature must stay stable for the object's lifetime. The
-        # rejected probe's batch is retried out-less — no batch is lost.
-        if out is None or self._base_out is False:
-            return self._base.get_batch(records, indices)
-        if self._base_out:
-            return self._base.get_batch(records, indices, out=out)
-        try:
-            arr = self._base.get_batch(records, indices, out=out)
-        except TypeError:
-            self._base_out = False
-            return self._base.get_batch(records, indices)
-        self._base_out = True
-        return arr
+
+
+class _SignatureOpaque:
+    """Passthrough for a base ``get_batch`` whose ``out=`` support is
+    UNKNOWN (its signature is un-introspectable — a C callable). This
+    wrapper is deliberately un-introspectable too, so consumers apply the
+    same probe-and-settle policy to the filtered view they would apply to
+    the base directly — extract.py owns that policy, its logging, and the
+    buffer-ring handoff. Settling inside the wrapper instead would (a)
+    mis-settle out-less on a genuine TypeError raised INSIDE an
+    out-accepting base, silently and unloggably, and (b) leave an
+    out-accepting stable signature over a settled-out-less base, so the
+    consumer keeps cycling ring buffers the wrapper discards every batch.
+    """
+
+    def __init__(self, fn):
+        self._fn = fn
+
+    @property
+    def __signature__(self):
+        raise ValueError("base get_batch signature is un-introspectable")
+
+    def __call__(self, records, indices, *args, **kwargs):
+        return self._fn(records, indices, *args, **kwargs)
 
 
 def filter_dataset_by_classes(dataset, keep: Sequence[str]):

@@ -186,6 +186,16 @@ def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
             cfg.pallas_pool, cfg.fused_stages, fused_stages, cfg.arch,
             jax.default_backend(),
         )
+    elif cfg.pallas_pool == "fused" and 1 not in fused_stages:
+        # Fail at config time: folded_feature_apply would raise the same
+        # refusal, but only at trace time on the FIRST batch — after the
+        # dataset is built and decoded (and mid-collective in a pod run).
+        raise ValueError(
+            "pallas_pool='fused' requires stage 1 in the resolved fused "
+            f"stages (fused_stages={cfg.fused_stages!r} resolved to "
+            f"{fused_stages!r} on {cfg.arch}); use pallas_pool=True for "
+            "the standalone kernel"
+        )
 
     @jax.jit
     def feature_fn(frames_u8: jax.Array) -> jax.Array:

@@ -197,3 +197,18 @@ def test_analytic_flops_model_direct():
         # stay within the border-effect margin.
         ratio = ca["flops"] / analytic
         assert 0.85 < ratio <= 1.001, (ca["flops"], analytic)
+
+
+def test_bench_rejects_fused_pool_without_stage1(monkeypatch):
+    """EOV_BENCH_PALLAS_POOL=fused without stage 1 in the fused stage set
+    is a config error: exit cleanly up front, never label the run +ppool
+    (the standalone-kernel label) and crash at trace time (review r3)."""
+    import pytest
+
+    monkeypatch.setenv("EOV_BENCH_PALLAS_POOL", "fused")
+    monkeypatch.setenv("EOV_BENCH_FUSED_STAGES", "2")
+    sys.path.insert(0, ".")
+    import bench
+
+    with pytest.raises(SystemExit, match="requires stage 1"):
+        bench.main()

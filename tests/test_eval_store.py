@@ -531,3 +531,66 @@ def test_pooled_probe_settles_outless(tmp_path, caplog):
     assert stats["extracted"] == 8 and stats["failed"] == 0
     assert pooled_calls == [4, 4]  # pooled ran once per batch, no fallback
     assert any("settling" in r.message for r in caplog.records)
+
+
+def test_pooled_probe_settles_through_class_filter(tmp_path, caplog):
+    """The class-filtered view over an un-introspectable out-less
+    get_batch must let extract's OWN probe-and-settle run: first pooled
+    call probes out=, settles out-less (logged), and the pooled fast path
+    holds for the rest of the run with no dead ring traffic (review r3 —
+    a wrapper that settled internally kept an out-accepting signature, so
+    extract cycled ring buffers the wrapper discarded every batch)."""
+    from eov_tpu.data.class_splits import filter_dataset_by_classes
+    from eov_tpu.data.datasets import get_batch_accepts_out
+
+    ds = SyntheticVideoDataset(
+        n_classes=3, clips_per_class=4, height=64, width=80, seed=0,
+        name="fprobe",
+    )
+    pooled_calls = []
+
+    def _outless_get_batch(records, idx):
+        pooled_calls.append(len(records))
+        return np.stack([
+            ds.get_frames(r, i) for r, i in zip(records, idx)
+        ])
+
+    class Base:
+        records = ds.records
+        class_names = ds.class_names
+        get_batch = _Uninspectable(_outless_get_batch)
+
+        def get_frames(self, rec, idx):
+            return ds.get_frames(rec, idx)
+
+    keep = ds.class_names[:2]
+    filt = filter_dataset_by_classes(Base(), keep)
+    assert get_batch_accepts_out(filt.get_batch) is None  # unknown mirrored
+
+    store = FeatureStore(str(tmp_path / "fprobe"), class_names=keep)
+    cfg = extract.ExtractConfig(num_segments=4, batch_clips=4)
+    with caplog.at_level("INFO", logger="eov.extract"):
+        stats = extract.extract_features(
+            filt, None, store, cfg, feature_fn=_cheap_feature_fn
+        )
+    assert stats["extracted"] == 8 and stats["failed"] == 0
+    assert pooled_calls == [4, 4]  # pooled once per batch, no fallback
+    assert any("settling" in r.message for r in caplog.records)
+
+
+def test_fused_pool_without_stage1_fails_at_config_time():
+    """pallas_pool='fused' without stage 1 in the resolved fused stages
+    must raise in make_feature_fn — at config time — not at trace time on
+    the first batch after decode/setup (review r3)."""
+    import jax
+
+    from eov_tpu.models import ResNet50
+
+    variables = ResNet50(dtype=jnp.float32).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+    )
+    cfg = extract.ExtractConfig(
+        num_segments=2, fused_stages=(2,), pallas_pool="fused",
+    )
+    with pytest.raises(ValueError, match="requires stage 1"):
+        extract.make_feature_fn(variables, cfg)

@@ -234,17 +234,19 @@ def test_make_splits_tool_and_cmn_dropin(tmp_path, monkeypatch, capsys):
     assert (d / "kinetics100_cmn.json").read_bytes() == first
 
 
-def test_filter_dataset_probe_wrapper_settles():
-    """An un-introspectable base get_batch (C callable) gets the probe
-    wrapper: a stable out-accepting signature whose first real-buffer call
-    settles whether the base takes out= (review r3 — the wrapper must not
-    rebind itself out-less after callers introspected it, and must not
-    guess True and TypeError every pooled call over an out-less base)."""
-    import inspect
-
+def test_filter_dataset_unknown_base_mirrors_unknown():
+    """An un-introspectable base get_batch (C callable) must stay
+    un-introspectable through the filtered view, so the consumer applies
+    its own probe-and-settle policy to the wrapper exactly as it would to
+    the base (review r3 — settling inside the wrapper mis-settled on
+    genuine TypeErrors and, over a settled-out-less base, kept an
+    out-accepting signature that made extract cycle dead ring buffers
+    every batch). The extract-level integration is
+    test_eval_store.test_pooled_probe_settles_through_class_filter."""
     import numpy as np
 
-    from eov_tpu.data.datasets import SyntheticVideoDataset
+    from eov_tpu.data.datasets import (SyntheticVideoDataset,
+                                       get_batch_accepts_out)
 
     ds = SyntheticVideoDataset(n_classes=3, clips_per_class=2, seed=0,
                                height=40, width=48)
@@ -273,13 +275,10 @@ def test_filter_dataset_probe_wrapper_settles():
         get_batch = _Uninspectable(_outless)
 
     w = cs.filter_dataset_by_classes(Base(), keep)
-    # The wrapper's signature is stable and out-accepting for its lifetime.
-    assert "out" in inspect.signature(w.get_batch).parameters
-    buf = np.zeros((1, 2, 4, 4, 3), np.uint8)
+    assert get_batch_accepts_out(w.get_batch) is None  # unknown mirrored
     idx = np.zeros((1, 2), np.int64)
-    w.get_batch(w.records[:1], idx, out=buf)  # probe: rejected, retried
-    assert calls == [1]  # the rejected probe never entered the base body;
-    # the SAME batch was retried out-less — no batch lost
-    w.get_batch(w.records[:1], idx, out=buf)  # settled: no probe attempt
-    assert calls == [1, 1]
-    assert "out" in inspect.signature(w.get_batch).parameters
+    w.get_batch(w.records[:1], idx)  # out-less passes straight through
+    assert calls == [1]
+    buf = np.zeros((1, 2, 4, 4, 3), np.uint8)
+    with pytest.raises(TypeError):  # the probe rejection reaches the
+        w.get_batch(w.records[:1], idx, out=buf)  # consumer, who settles
