@@ -594,3 +594,43 @@ def test_fused_pool_without_stage1_fails_at_config_time():
     )
     with pytest.raises(ValueError, match="requires stage 1"):
         extract.make_feature_fn(variables, cfg)
+
+
+def test_buffer_ring_concurrent_take_put_invariants():
+    """The ring's lock must hold its invariants under concurrent extracts:
+    per-shape stacks never exceed _HOST_BUFS_CAP, the shape table never
+    exceeds _HOST_BUFS_SHAPES, and no take/put ever throws while threads
+    hammer overlapping shape sets (the LRU eviction mutates the
+    OrderedDict the takers are reading)."""
+    import threading
+
+    shapes = [(5, 5, i) for i in range(extract._HOST_BUFS_SHAPES + 2)]
+    for s in shapes:
+        extract._HOST_BUFS.pop(s, None)
+    errors = []
+
+    def worker(tid):
+        try:
+            for i in range(400):
+                s = shapes[(tid + i) % len(shapes)]
+                buf = extract._take_buf(s)
+                if buf is None:
+                    buf = np.zeros(s, np.uint8)
+                extract._put_buf(buf)
+        except Exception as e:  # noqa: BLE001 — the test IS the catch
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(4)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        with extract._HOST_BUFS_LOCK:
+            assert len(extract._HOST_BUFS) <= extract._HOST_BUFS_SHAPES
+            for stack in extract._HOST_BUFS.values():
+                assert len(stack) <= extract._HOST_BUFS_CAP
+    finally:
+        for s in shapes:
+            extract._HOST_BUFS.pop(s, None)
