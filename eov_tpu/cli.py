@@ -664,7 +664,7 @@ def cmd_train(args) -> int:
             doc = json.load(f)
         best = (doc["val_acc"], doc["ci95"], doc["epoch"])
     for epoch in range(start_epoch, args.epochs):
-        state, m = eov_train.train_epoch_synthetic(
+        state, m = eov_train.train_epoch(
             state, step_fn, cfg, dataset, epoch=epoch, mesh=mesh
         )
         metrics.write("epoch", epoch=epoch, **m)

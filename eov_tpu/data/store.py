@@ -228,7 +228,13 @@ class FeatureStore:
         shards = sorted(glob.glob(os.path.join(self.root, "shard_*.npz")))
         manifests = glob.glob(os.path.join(self.root, "manifest*.json"))
         labels = [v["label"] for v in videos.values()]
-        n_classes = len(self.class_names)
+        # A store written without class_names metadata can hold labels past
+        # len(class_names); report the axis per_class actually spans so the
+        # per-class stats and the 'classes' field always agree.
+        n_classes = max(
+            len(self.class_names),
+            (max(labels) + 1) if labels else 0,
+        )
         per_class = (
             np.bincount(labels, minlength=n_classes)
             if labels else np.zeros(n_classes, np.int64)

@@ -33,7 +33,7 @@ import numpy as np
 
 from eov_tpu.data.datasets import VideoDataset, VideoRecord
 from eov_tpu.data.store import FeatureStore
-from eov_tpu.models import feature_apply
+from eov_tpu.models import feature_apply, get_arch
 from eov_tpu.ops import preprocess
 from eov_tpu.utils.metrics import MetricsWriter, Timer
 
@@ -101,8 +101,6 @@ def resolve_fused_stages(
     Explicit tuples are always honored, both families, interpret off-TPU.
     Fusion needs folded BN; otherwise resolves empty.
     """
-    from eov_tpu.models import get_arch
-
     if not folded:
         return ()
     if fused_stages == "auto":
@@ -130,10 +128,19 @@ _HOST_BUFS_SHAPES = 4  # distinct shapes retained (least-recent evicted)
 def _take_buf(shape: tuple):
     with _HOST_BUFS_LOCK:
         stack = _HOST_BUFS.get(shape)
-        if stack is None:
+        if not stack:
+            # Never keep an empty stack around: it holds no stock, yet it
+            # would occupy a _HOST_BUFS_SHAPES LRU slot and could evict a
+            # shape that still has live buffers. _put_buf recreates the
+            # entry when a checked-out buffer comes back.
+            if stack is not None:
+                del _HOST_BUFS[shape]
             return None
-        _HOST_BUFS.move_to_end(shape)  # mark live even while all taken
-        return stack.pop() if stack else None
+        _HOST_BUFS.move_to_end(shape)
+        buf = stack.pop()
+        if not stack:
+            del _HOST_BUFS[shape]
+        return buf
 
 
 def _put_buf(buf: np.ndarray) -> None:
@@ -195,6 +202,16 @@ def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
             f"stages (fused_stages={cfg.fused_stages!r} resolved to "
             f"{fused_stages!r} on {cfg.arch}); use pallas_pool=True for "
             "the standalone kernel"
+        )
+    elif cfg.pallas_pool == "fused" and not get_arch(cfg.arch)[2]:
+        # Same late-failure mode for basic archs: an explicit
+        # fused_stages=(1,) on resnet18/34 passes the stage check above but
+        # folded_feature_apply refuses pool-fusion at trace time (the
+        # fused-entry pool exists only in the bottleneck stack).
+        raise ValueError(
+            "pallas_pool='fused' is implemented for bottleneck archs only "
+            f"(arch={cfg.arch!r}); use pallas_pool=True for the standalone "
+            "kernel"
         )
 
     @jax.jit
@@ -333,13 +350,22 @@ def extract_features(
                 if accepts_out:
                     try:
                         arr = dataset.get_batch(batch, idx, out=out_buf)
-                    except TypeError:
+                    except TypeError as te:
                         if not probe_out:
                             raise  # genuine error inside an out-accepting
                             # loader: surface via the per-record fallback
                         probe_out = accepts_out = False
-                        log.info("get_batch rejected out=; settling on "
-                                 "the out-less pooled form")
+                        # warning, not info: for an un-introspectable
+                        # get_batch a genuine TypeError raised INSIDE an
+                        # out-accepting loader is indistinguishable from a
+                        # signature rejection — a mis-settle silently drops
+                        # the buffer ring for the whole run, so the settle
+                        # (with the actual error text) must be visible.
+                        log.warning(
+                            "get_batch rejected out= (%s); settling on the "
+                            "out-less pooled form — if this TypeError came "
+                            "from inside an out-accepting loader, the "
+                            "buffer ring is disabled for this run", te)
                         arr = dataset.get_batch(batch, idx)
                     else:
                         probe_out = False  # out= accepted; answer settled

@@ -28,7 +28,8 @@ from eov_tpu.ops import preprocess
 from eov_tpu.parallel.mesh import DATA_AXIS, FRAME_AXIS
 
 __all__ = ["TrainConfig", "TrainState", "create_train_state", "make_train_step",
-           "train_epoch_synthetic", "evaluate_classifier", "one_shot_validate"]
+           "train_epoch", "train_epoch_synthetic", "evaluate_classifier",
+           "one_shot_validate"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -459,7 +460,7 @@ def _tsn_train_indices(rng, num_frames: int, k: int):
     return np.sort(rng.integers(0, num_frames, size=k))
 
 
-def train_epoch_synthetic(
+def train_epoch(
     state: TrainState,
     step_fn: Callable,
     cfg: TrainConfig,
@@ -555,6 +556,10 @@ def train_epoch_synthetic(
         # single-process tail bucket reuses its decoded clips.
         b = cfg.batch_clips
         n = len(order)
+        # Note (r3 ADVICE): this list is O(n_records) host memory per epoch
+        # (a few dozen bytes per record — the wrap-pad tail shares its
+        # source rows' index arrays by reference). Fine at Kinetics scale;
+        # compute lazily per global batch if datasets ever outgrow that.
         samples = []  # (record_index, sampled idx) per global position
         for i in order:
             r = dataset.records[i]
@@ -622,3 +627,9 @@ def train_epoch_synthetic(
     out = {k: float(v) for k, v in last.items()}
     out.update(steps=n_steps, clips=n_clips)
     return state, out
+
+
+# Historical name (r1–r3): the loop was first written against synthetic
+# fixtures but has always taken any VideoDataset and is the real CLI train
+# loop. Renamed in r4; alias kept for external callers.
+train_epoch_synthetic = train_epoch

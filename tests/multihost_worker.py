@@ -141,7 +141,7 @@ def main() -> int:
         state_e = tr.create_train_state(
             cfg_t, jax.random.PRNGKey(2), sample_hw=(32, 32)
         )
-        state_e, em = tr.train_epoch_synthetic(
+        state_e, em = tr.train_epoch(
             state_e, step, cfg_t, Sub(), epoch=0, mesh=mesh_t
         )
         checksum_e = float(

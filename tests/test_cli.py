@@ -92,3 +92,52 @@ def test_cli_train_multichip_single_controller(tmp_path, capsys):
     import os
 
     assert os.path.isdir(os.path.join(out_dir, "step_0"))
+
+
+def test_cli_embodied_roundtrip_paired_compare(tmp_path, capsys):
+    """Full CLI embodied round trip (C9 + the paper's headline delta,
+    VERDICT r3 #7): extract a real and a virtual store (virtual uses the
+    UnrealAction-style display names, exercising name-normalized bank
+    alignment), eval plain and --embodied over the SAME canonical episode
+    set, then compare_eval computes the paired delta."""
+    real = str(tmp_path / "real")
+    virt = str(tmp_path / "virt")
+    for store, extra in ((real, []), (virt, ["--synthetic-virtual"])):
+        _run(capsys, [
+            "extract", "--platform", "cpu", "--preset", "synthetic_smoke",
+            "--dataset", "synthetic", "--synthetic-classes", "4",
+            "--synthetic-clips", "3", "--arch", "resnet18",
+            "--store", store, *extra,
+        ])
+
+    plain = str(tmp_path / "plain.json")
+    emb = str(tmp_path / "emb.json")
+    _run(capsys, [
+        "eval", "--platform", "cpu", "--preset", "synthetic_smoke",
+        "--store", real, "--per-episode-out", plain,
+    ])
+    _run(capsys, [
+        "eval", "--platform", "cpu", "--preset", "synthetic_smoke",
+        "--store", real, "--embodied", "--virtual-store", virt,
+        "--per-episode-out", emb,
+    ])
+
+    from eov_tpu.tools import compare_eval
+
+    rc = compare_eval.main([emb, plain])
+    out = capsys.readouterr().out
+    assert rc == 0
+    stats = json.loads(out.strip().splitlines()[-1])
+    # The paired identity held (same seed/protocol/counts) and the variant
+    # axis is what differs.
+    assert stats["n_episodes"] > 0
+    assert stats["variant_a"]["embodied"] and not stats["variant_b"]["embodied"]
+    assert stats["wins"] + stats["losses"] + stats["ties"] == stats["n_episodes"]
+
+    # Missing --virtual-store must refuse up front, not mid-eval.
+    with pytest.raises(SystemExit):
+        cli.main([
+            "eval", "--platform", "cpu", "--preset", "synthetic_smoke",
+            "--store", real, "--embodied",
+        ])
+    capsys.readouterr()

@@ -596,6 +596,52 @@ def test_fused_pool_without_stage1_fails_at_config_time():
         extract.make_feature_fn(variables, cfg)
 
 
+def test_fused_pool_on_basic_arch_fails_at_config_time():
+    """A BASIC arch with explicit fused_stages=(1,) passes the stage check
+    but pool-fusion only exists in the bottleneck stack — must refuse in
+    make_feature_fn, not at trace time on the first batch (ADVICE r3)."""
+    import jax
+
+    from eov_tpu.models import ResNet18
+
+    variables = ResNet18(dtype=jnp.float32).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+    )
+    cfg = extract.ExtractConfig(
+        arch="resnet18", num_segments=2, fused_stages=(1,),
+        pallas_pool="fused",
+    )
+    with pytest.raises(ValueError, match="bottleneck archs only"):
+        extract.make_feature_fn(variables, cfg)
+
+
+def test_buffer_ring_drops_emptied_shape_stacks():
+    """A shape whose buffers are all checked out must not occupy an LRU
+    slot and evict shapes that still hold stock (ADVICE r3): taking the
+    last buffer removes the entry; returning one recreates it."""
+    with extract._HOST_BUFS_LOCK:
+        extract._HOST_BUFS.clear()
+    bufs = [np.zeros((2, 3), np.uint8) for _ in range(2)]
+    for b in bufs:
+        extract._put_buf(b)
+    live = np.zeros((4, 5), np.uint8)
+    extract._put_buf(live)
+    # Check out everything of the first shape — its entry must vanish.
+    assert extract._take_buf((2, 3)) is not None
+    assert extract._take_buf((2, 3)) is not None
+    with extract._HOST_BUFS_LOCK:
+        assert (2, 3) not in extract._HOST_BUFS
+        assert (4, 5) in extract._HOST_BUFS
+    # Churn through _HOST_BUFS_SHAPES fresh shapes: the live stock shape
+    # is evicted only by genuinely newer NON-EMPTY stacks, never by the
+    # emptied one.
+    assert extract._take_buf((2, 3)) is None
+    extract._put_buf(bufs[0])  # entry recreated on return
+    with extract._HOST_BUFS_LOCK:
+        assert (2, 3) in extract._HOST_BUFS
+        extract._HOST_BUFS.clear()
+
+
 def test_buffer_ring_concurrent_take_put_invariants():
     """The ring's lock must hold its invariants under concurrent extracts:
     per-shape stacks never exceed _HOST_BUFS_CAP, the shape table never

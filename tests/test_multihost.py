@@ -224,7 +224,7 @@ def test_two_process_extraction_matches_single_process(tmp_path):
 
     state_e = tr.create_train_state(cfg_t, jax.random.PRNGKey(2),
                                     sample_hw=(32, 32))
-    state_e, em = tr.train_epoch_synthetic(state_e, step, cfg_t, Sub(),
+    state_e, em = tr.train_epoch(state_e, step, cfg_t, Sub(),
                                            epoch=0)
     assert em["steps"] == 4 and em["clips"] == 14
     np.testing.assert_allclose(em["loss"], e0["metrics"]["loss"], rtol=1e-5)

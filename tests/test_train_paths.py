@@ -46,7 +46,7 @@ def test_train_epoch_mixed_resolution_covers_every_clip():
     state = tr.create_train_state(cfg, jax.random.PRNGKey(0),
                                   sample_hw=(32, 32))
     step = tr.make_train_step(cfg, donate=False)
-    state2, m = tr.train_epoch_synthetic(state, step, cfg, ds, epoch=0)
+    state2, m = tr.train_epoch(state, step, cfg, ds, epoch=0)
     assert m["clips"] == 15  # every record decoded — tail not dropped
     # 15 clips across two buckets at batch 4: 9@44x56 -> 2 full + 1 tail,
     # 6@56x44 -> 1 full + 1 tail = 5 steps (tails wrap-padded per bucket).
@@ -62,7 +62,7 @@ def test_train_epoch_uniform_resolution_tail_padded():
     state = tr.create_train_state(cfg, jax.random.PRNGKey(0),
                                   sample_hw=(32, 32))
     step = tr.make_train_step(cfg, donate=False)
-    _, m = tr.train_epoch_synthetic(state, step, cfg, ds, epoch=0)
+    _, m = tr.train_epoch(state, step, cfg, ds, epoch=0)
     assert m["clips"] == 6 and m["steps"] == 2
 
 
