@@ -81,6 +81,102 @@ def main() -> None:
                 results[label] = round(len(recs) / dt, 2)
                 results[label + "_coldbuf"] = round(len(recs) / cold, 2)
 
+    # DCT-scaled jpeg decode (VERDICT r3 #3): a 512-short-side shard (the
+    # 4x-smaller-than-raw storage tier a pod config would keep at source
+    # resolution) decoded full vs at 1/2 — the scaled IDCT lands directly
+    # at the 256 pipeline scale_size, cutting IDCT+color cost ~4x.
+    try:
+        ds512 = SyntheticVideoDataset(
+            n_classes=4, clips_per_class=(min(n_clips, 16) + 3) // 4,
+            seed=0, height=512, width=640, min_frames=12, max_frames=16,
+        )
+        with tempfile.TemporaryDirectory(dir=base) as td:
+            path = os.path.join(td, "hi.jpeg.eovc")
+            pack(ds512, path, storage_short_side=512, codec="jpeg")
+            for label, denom in (("eovc_jpeg_hires_full", 1),
+                                 ("eovc_jpeg_hires_s2", 2)):
+                eds = EovcVideoDataset(path, jpeg_scale_denom=denom)
+                if not eds.is_native:
+                    break
+                recs = eds.records
+                idx = np.stack([
+                    np.linspace(0, r.num_frames - 1, k).astype(np.int32)
+                    for r in recs
+                ])
+                out = eds.get_batch(recs, idx)
+                times = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    out = eds.get_batch(recs, idx, out=out)
+                    times.append(time.perf_counter() - t0)
+                results[label] = round(
+                    len(recs) / statistics.median(times), 2
+                )
+    except Exception as e:  # noqa: BLE001 — lever rows are best-effort
+        results["jpeg_scale_error"] = str(e)
+
+    # Videodir onramp (VERDICT r3 #2): decode straight from source video
+    # files (cv2, sequential-grab exact indexing) — per-record vs the
+    # threaded pooled get_batch. This is the dev onramp, not the
+    # production feed (that is pack-to-EOVC once, rows above); the rows
+    # here quantify what skipping the pack costs.
+    try:
+        import cv2
+
+        with tempfile.TemporaryDirectory(dir=base) as td:
+            vdir = os.path.join(td, "videos", "class_a")
+            os.makedirs(vdir)
+            n_vids = min(n_clips, 16)
+            frames_each = 32
+            rng = np.random.default_rng(0)
+            wrote = 0
+            for j in range(n_vids):
+                p = os.path.join(vdir, f"v{j:03d}.mp4")
+                wr = cv2.VideoWriter(
+                    p, cv2.VideoWriter_fourcc(*"mp4v"), 10, (320, 256)
+                )
+                if not wr.isOpened():
+                    break
+                for _ in range(frames_each):
+                    wr.write(rng.integers(0, 256, (256, 320, 3),
+                                          dtype=np.uint8))
+                wr.release()
+                wrote += 1
+            if wrote:
+                from eov_tpu.data.datasets import VideoFileDataset
+
+                vds = VideoFileDataset(os.path.join(td, "videos"))
+                recs = vds.records
+                idx = np.stack([
+                    np.linspace(0, r.num_frames - 1, k).astype(np.int32)
+                    for r in recs
+                ])
+                t0 = time.perf_counter()
+                out = vds.get_batch(recs, idx)
+                cold = time.perf_counter() - t0
+                times = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    out = vds.get_batch(recs, idx, out=out)
+                    times.append(time.perf_counter() - t0)
+                results["videodir_pooled"] = round(
+                    len(recs) / statistics.median(times), 2
+                )
+                results["videodir_pooled_coldbuf"] = round(
+                    len(recs) / cold, 2
+                )
+                times = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for r, i in zip(recs, idx):
+                        vds.get_frames(r, i)
+                    times.append(time.perf_counter() - t0)
+                results["videodir_per_record"] = round(
+                    len(recs) / statistics.median(times), 2
+                )
+    except Exception as e:  # noqa: BLE001 — onramp rows are best-effort
+        results["videodir_error"] = str(e)
+
     print(
         json.dumps(
             {

@@ -40,6 +40,8 @@ def main() -> None:
         num_classes=64, num_segments=k, batch_clips=batch,
         scale_size=scale, crop_size=crop,
         compute_dtype="bfloat16" if platform == "tpu" else "float32",
+        stem_s2d=os.environ.get("EOV_TRAIN_S2D", "auto"),
+        pool_vjp=os.environ.get("EOV_TRAIN_POOL_VJP", "auto"),
     )
     state = tr.create_train_state(cfg, jax.random.PRNGKey(0), sample_hw=(crop, crop))
     step = tr.make_train_step(cfg, donate=False)  # scan carries state instead

@@ -104,7 +104,10 @@ def _load_dataset(args):
         if args.split and args.split.endswith(".json"):
             names = datasets.load_split_json(args.split)["class_names"]
         return class_filtered(
-            datasets.EovcVideoDataset(args.root, class_names=names)
+            datasets.EovcVideoDataset(
+                args.root, class_names=names,
+                jpeg_scale_denom=getattr(args, "jpeg_scale_denom", 1),
+            )
         )
     if args.dataset == "videodir":
         # Source video files directly (C14 online path): root/<class>/<vid>,
@@ -835,6 +838,12 @@ def main(argv=None) -> int:
         p.add_argument("--split-name", default="all")
         p.add_argument("--class-split", default=None, dest="class_split",
                        help="class-split json[:part] (eov_tpu/splits/, C11)")
+        p.add_argument("--jpeg-scale-denom", type=int, default=1,
+                       dest="jpeg_scale_denom", choices=[1, 2, 4, 8],
+                       help="eovc jpeg shards: DCT-scaled decode at "
+                            "1/denom of storage resolution (native "
+                            "loader; cuts decode cost ~denom^2 when "
+                            "storage res > scale-size)")
         p.add_argument("--synthetic-classes", type=int, default=10)
         p.add_argument("--synthetic-clips", type=int, default=8)
         p.add_argument("--synthetic-virtual", action="store_true",

@@ -287,6 +287,63 @@ class VideoFileDataset:
             cap.release()
         return np.stack([got[int(i)] for i in idx])
 
+    def get_batch(
+        self, records, indices: np.ndarray, out: np.ndarray | None = None
+    ) -> np.ndarray:
+        """Pooled threaded decode [B, K, H, W, 3] (VERDICT r3 #2).
+
+        cv2's decode releases the GIL, so one ``VideoCapture`` per worker
+        thread parallelizes the per-record sequential-grab reads across
+        host cores (``EOV_VIDEODIR_THREADS`` overrides the pool size;
+        default = os.cpu_count). Decodes are per-record independent, so
+        the result is exactly ``stack([get_frames(r, i) ...])`` — the
+        parity test is tests/test_video_files.py. Mixed-resolution roots
+        raise (the caller's per-record fallback handles those); with
+        ``out=`` workers write their rows straight into the caller's ring
+        buffer.
+        """
+        import concurrent.futures as cf
+
+        indices = np.asarray(indices)
+        b, k = len(records), indices.shape[1]
+        workers = int(os.environ.get("EOV_VIDEODIR_THREADS", 0)) or (
+            os.cpu_count() or 1
+        )
+        workers = max(1, min(workers, b))
+
+        rows: list[np.ndarray | None] = [None] * b
+
+        def _one(pos: int) -> None:
+            frames = self.get_frames(records[pos], indices[pos])
+            if out is not None:
+                if frames.shape != out.shape[1:]:
+                    raise ValueError(
+                        f"out buffer mismatch: {records[pos].video_id} "
+                        f"decodes to {frames.shape}, out rows are "
+                        f"{out.shape[1:]}"
+                    )
+                out[pos] = frames
+            else:
+                rows[pos] = frames
+
+        if workers == 1:
+            for pos in range(b):
+                _one(pos)
+        else:
+            with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+                for f in [pool.submit(_one, p) for p in range(b)]:
+                    f.result()  # re-raise worker errors in submit order
+        if out is not None:
+            return out
+        shapes = {r.shape for r in rows}  # type: ignore[union-attr]
+        if len(shapes) > 1:
+            raise ValueError(
+                f"mixed frame resolutions in pooled videodir batch: "
+                f"{sorted(shapes)} — resolution-normalize or use the "
+                "per-record path"
+            )
+        return np.stack(rows)  # type: ignore[arg-type]
+
 
 class FrameFolderDataset:
     """TSN-convention frame folders: ``root/<video>/{tmpl % i}`` JPEG frames.
@@ -347,7 +404,7 @@ class EovcVideoDataset:
     """
 
     def __init__(self, path: str, class_names: Sequence[str] | None = None,
-                 prefer_native: bool = True):
+                 prefer_native: bool = True, jpeg_scale_denom: int = 1):
         import glob as _glob
 
         if os.path.isdir(path):
@@ -367,12 +424,23 @@ class EovcVideoDataset:
                     )
 
                     if native_available():
-                        native = NativeClipLoader(p)
+                        native = NativeClipLoader(
+                            p, scale_denom=jpeg_scale_denom
+                        )
                 except Exception:
+                    if jpeg_scale_denom != 1:
+                        raise  # an explicit scale request must not
+                        # silently fall back to full-resolution decode
                     native = None
             if native is not None:
                 self._loaders.append((True, native))
             else:
+                if jpeg_scale_denom != 1:
+                    raise ValueError(
+                        "jpeg_scale_denom is a native-loader feature "
+                        "(DCT-domain scaling in native/clip_loader.cc); "
+                        "build it with `make -C native`"
+                    )
                 from eov_tpu.runtime.eovc import EovcReader
 
                 self._loaders.append((False, EovcReader(p)))

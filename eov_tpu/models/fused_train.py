@@ -46,12 +46,60 @@ def _conv_norm(dtype, precision, *, frozen_bn: bool, train: bool):
     return conv, norm
 
 
+class _S2DConv1(nn.Module):
+    """The stem 7x7/s2 conv computed via the space-to-depth rewrite, with
+    the ORIGINAL [7,7,3,width] parameter (train-time twin of
+    models.resnet.space_to_depth_stem, VERDICT r3 #1a).
+
+    The kernel is zero-padded to 8x8 top/left and refolded to
+    [4,4,12,width] INSIDE the forward, and the input's 2x2 phases fold
+    into channels — an exact algebraic identity, so autodiff through the
+    pad/reshape yields exactly the original conv's parameter gradients
+    (the padded taps' cotangents land on the pad and are discarded): no
+    optimizer masking, same checkpoint layout, same init. What changes is
+    only the conv's SHAPE presented to XLA: dgrad/wgrad contract over 12
+    input channels instead of 3 — the training backward's worst MXU shape
+    (DESIGN.md §9b: stem dgrad at 2-8% MXU) widened 4x.
+    """
+
+    width: int = 64
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, 3, self.width), jnp.float32,
+        )
+        k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        # [8,8,3,o] -> [4,dy,4,dx,3,o] -> [4,4,(dy,dx,3),o]  (matches
+        # models.resnet.space_to_depth_stem bit for bit)
+        k = k.reshape(4, 2, 4, 2, 3, self.width)
+        k = k.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 12, self.width)
+        b, h, w, c = x.shape
+        xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        return jax.lax.conv_general_dilated(
+            xs.astype(self.dtype), k.astype(self.dtype), (1, 1),
+            [(2, 1), (2, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=self.precision,
+        )
+
+
 class ResNetStem(nn.Module):
     """conv1 -> bn1 (the ONE trainable BN under partial_bn) -> relu -> maxpool."""
 
     width: int = 64
     dtype: Any = jnp.float32
     precision: Any = None
+    s2d: bool = False   # stem conv via the space-to-depth rewrite (same
+                        # params — see _S2DConv1); requires even H and W
+    pool_vjp: bool = False  # stem maxpool through the custom-VJP op whose
+                            # backward avoids select_and_scatter
+                            # (ops/pool.maxpool_3x3_s2_vjp)
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
@@ -59,10 +107,20 @@ class ResNetStem(nn.Module):
             self.dtype, self.precision, frozen_bn=False, train=train
         )
         x = x.astype(self.dtype)
-        x = conv(self.width, (7, 7), strides=(2, 2),
-                 padding=[(3, 3), (3, 3)], name="conv1")(x)
+        if self.s2d:
+            x = _S2DConv1(
+                width=self.width, dtype=self.dtype,
+                precision=self.precision, name="conv1",
+            )(x)
+        else:
+            x = conv(self.width, (7, 7), strides=(2, 2),
+                     padding=[(3, 3), (3, 3)], name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
+        if self.pool_vjp:
+            from eov_tpu.ops.pool import maxpool_3x3_s2_vjp
+
+            return maxpool_3x3_s2_vjp(x)
         return nn.max_pool(
             x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
         )

@@ -26,7 +26,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["maxpool_3x3_s2_nonneg", "maxpool_3x3_s2_separable"]
+__all__ = ["maxpool_3x3_s2_nonneg", "maxpool_3x3_s2_separable",
+           "maxpool_3x3_s2_vjp"]
 
 
 def maxpool_3x3_s2_separable(x: jnp.ndarray) -> jnp.ndarray:
@@ -69,3 +70,66 @@ def maxpool_3x3_s2_nonneg(x: jnp.ndarray) -> jnp.ndarray:
         jnp.maximum(v[:, :, 0 : 2 * ow - 1 : 2], v[:, :, 1 : 2 * ow : 2]),
         v[:, :, 2 : 2 * ow + 1 : 2],
     )
+
+
+@jax.custom_vjp
+def maxpool_3x3_s2_vjp(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3/s2/p1 max-pool whose BACKWARD avoids ``select_and_scatter``.
+
+    Train-path twin of the stem pool (SURVEY.md §2a C4 backward; VERDICT
+    r3 #1b). Forward is the production ``reduce_window`` unchanged; the
+    custom backward routes each window's cotangent to the FIRST maximal
+    element in row-major window order — measured to be exactly XLA's
+    select_and_scatter tie rule (probe: all-zero and two-way-tie windows,
+    tests/test_train_fused.py) — via 9 strided tap gathers, equality
+    one-hots with a prefix-seen chain, and 9 interior-padded scatters:
+    all fusable elementwise/pad ops instead of the serial
+    select_and_scatter lowering (1.4 ms, 3.3% of the train step in the
+    DESIGN.md §9b trace). Routing is identical; summed values can differ
+    from select_and_scatter in the last ulp where a position accumulates
+    cotangents from several windows in a different order.
+    """
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+
+
+def _maxpool_vjp_fwd(x):
+    y = maxpool_3x3_s2_vjp(x)
+    return y, (x, y)
+
+
+def _maxpool_vjp_bwd(res, g):
+    x, y = res
+    n, h, w, c = x.shape
+    oh, ow = y.shape[1], y.shape[2]
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
+    seen = None
+    parts = []
+    for dy in range(3):
+        for dx in range(3):
+            # Tap (dy, dx) of every window, at output resolution.
+            xt = jax.lax.slice(
+                xp, (0, dy, dx, 0),
+                (n, dy + 2 * oh - 1, dx + 2 * ow - 1, c),
+                (1, 2, 2, 1),
+            )
+            eq = xt == y
+            first = eq if seen is None else (eq & ~seen)
+            seen = eq if seen is None else (seen | eq)
+            contrib = jnp.where(first, g, jnp.zeros((), g.dtype))
+            # Scatter back to input coordinates: interior-dilate by the
+            # stride and offset by the tap; padded frame sliced off below.
+            parts.append(jax.lax.pad(
+                contrib, jnp.zeros((), g.dtype),
+                [(0, 0, 0), (dy, 3 - dy, 1), (dx, 3 - dx, 1), (0, 0, 0)],
+            ))
+    dxp = parts[0]
+    for p in parts[1:]:
+        dxp = dxp + p
+    return (jax.lax.slice(dxp, (0, 1, 1, 0), (n, h + 1, w + 1, c)),)
+
+
+maxpool_3x3_s2_vjp.defvjp(_maxpool_vjp_fwd, _maxpool_vjp_bwd)

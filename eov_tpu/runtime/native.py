@@ -51,6 +51,11 @@ def _load():
     lib = ctypes.CDLL(path)
     lib.eovc_open.restype = ctypes.c_void_p
     lib.eovc_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    if hasattr(lib, "eovc_open_scaled"):  # older .so via EOV_NATIVE_LIB
+        lib.eovc_open_scaled.restype = ctypes.c_void_p
+        lib.eovc_open_scaled.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int32,
+        ]
     lib.eovc_close.argtypes = [ctypes.c_void_p]
     lib.eovc_n_clips.restype = ctypes.c_int64
     lib.eovc_n_clips.argtypes = [ctypes.c_void_p]
@@ -88,16 +93,34 @@ class NativeClipLoader:
     double-buffer against device compute.
     """
 
-    def __init__(self, path: str, n_threads: int | None = None):
+    def __init__(self, path: str, n_threads: int | None = None,
+                 scale_denom: int = 1):
         lib = _load()
         if lib is None:
             raise RuntimeError("native loader unavailable (build failed)")
         self._lib = lib
         if n_threads is None:
             n_threads = max(1, (os.cpu_count() or 1))
-        self._h = lib.eovc_open(path.encode(), n_threads)
+        if scale_denom == 1:
+            self._h = lib.eovc_open(path.encode(), n_threads)
+        elif hasattr(lib, "eovc_open_scaled"):
+            # DCT-domain scaled jpeg decode (VERDICT r3 #3): frames come
+            # back at 1/scale_denom of storage resolution; height/width
+            # below report the SCALED dims so callers size buffers right.
+            self._h = lib.eovc_open_scaled(
+                path.encode(), n_threads, int(scale_denom)
+            )
+        else:
+            raise RuntimeError(
+                "this libeovc.so predates eovc_open_scaled; rebuild "
+                "(make -C native) or drop scale_denom"
+            )
         if not self._h:
-            raise IOError(f"eovc_open failed: {path}")
+            raise IOError(
+                f"eovc_open failed: {path}"
+                + (f" (scale_denom={scale_denom}: jpeg-codec shards only, "
+                   "denom in 1/2/4/8)" if scale_denom != 1 else "")
+            )
         self.n_clips = int(lib.eovc_n_clips(self._h))
         self.height = int(lib.eovc_height(self._h))
         self.width = int(lib.eovc_width(self._h))

@@ -59,6 +59,19 @@ class TrainConfig:
     # Stage 2's stride-1 tail (layer2_1..3) through the same fused op; the
     # strided entry block (layer2_0) stays XLA. Requires fused_stage1.
     fused_stage2: str = "auto"
+    # Stem conv via the space-to-depth rewrite INSIDE the forward (same
+    # [7,7,3,64] params — exact reparametrization, no optimizer changes;
+    # models/fused_train._S2DConv1). The inference twin measured negative
+    # (BASELINE.md r1) but the TRAIN regime differs: conv1's dgrad/wgrad
+    # over 3 input channels is the backward's worst MXU shape and s2d
+    # widens the contraction to 12 (VERDICT r3 #1a). 'auto' defers to the
+    # measured default; 'on' forces; 'off' disables. Fused stem path only.
+    stem_s2d: str = "auto"
+    # Stem maxpool through ops/pool.maxpool_3x3_s2_vjp: identical forward,
+    # custom backward (one-hot first-max routing) instead of XLA's
+    # select_and_scatter (1.4 ms / 3.3% of the step in the §9b trace).
+    # Same 'auto'/'on'/'off' convention; fused stem path only.
+    pool_vjp: str = "auto"
     compute_dtype: str = "bfloat16"
     scale_size: int = 256
     crop_size: int = 224
@@ -191,6 +204,16 @@ def make_train_step(
     )
     if cfg.fused_stage2 == "on" and not fuse:
         raise ValueError("fused_stage2='on' requires fused_stage1")
+    if cfg.stem_s2d == "on" and not fuse:
+        raise ValueError(
+            "stem_s2d='on' is implemented on the fused stem path only "
+            "(requires fused_stage1)"
+        )
+    if cfg.pool_vjp == "on" and not fuse:
+        raise ValueError(
+            "pool_vjp='on' is implemented on the fused stem path only "
+            "(requires fused_stage1)"
+        )
     if fuse:
         from eov_tpu.models.fused_train import (
             ResNetSlice, ResNetStem, stage_block_specs,
@@ -202,7 +225,19 @@ def make_train_step(
         on_tpu = jax.default_backend() == "tpu"
         sizes = get_arch(cfg.arch)[1]  # stage depths (e.g. 50: (3,4,6,3))
         cdt = jnp.dtype(cfg.compute_dtype)
-        stem = ResNetStem(dtype=cdt)
+        # 'auto' resolves to the measured default (BASELINE.md r4 row);
+        # even crop sizes only (the 2x2 phase fold needs H, W even).
+        s2d = cfg.stem_s2d == "on" or (
+            cfg.stem_s2d == "auto" and on_tpu and cfg.crop_size % 2 == 0
+        )
+        if s2d and cfg.crop_size % 2:
+            raise ValueError(
+                f"stem_s2d='on' needs an even crop_size, got {cfg.crop_size}"
+            )
+        pool_vjp = cfg.pool_vjp == "on" or (
+            cfg.pool_vjp == "auto" and on_tpu
+        )
+        stem = ResNetStem(dtype=cdt, s2d=s2d, pool_vjp=pool_vjp)
         mid = (
             ResNetSlice(blocks=stage_block_specs(sizes, 64, (2,))[:1],
                         dtype=cdt, remat=cfg.remat)

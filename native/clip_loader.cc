@@ -67,6 +67,14 @@ struct Store {
   size_t size = 0;
   Header hdr{};
   std::vector<ClipMeta> clips;
+  // DCT-domain scaled decode (jpeg codec only, VERDICT r3 #3): libjpeg
+  // decodes at 1/scale_denom directly from the DCT coefficients —
+  // IDCT + color conversion run at the reduced resolution, cutting
+  // decode cost ~denom^2 when storage resolution exceeds the pipeline's
+  // scale_size. out_h/out_w are what decode produces and what
+  // eovc_height/width report, so downstream buffer sizing Just Works.
+  uint32_t scale_denom = 1;
+  uint32_t out_h = 0, out_w = 0;
 };
 
 // ---- jpeg decode (libjpeg, longjmp error trap) ----------------------------
@@ -81,10 +89,12 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jb, 1);
 }
 
-// Decode one JPEG payload to RGB u8 [th, tw, 3]. If the decoded size
-// differs from (th, tw), fails (shards are written size-normalized).
+// Decode one JPEG payload to RGB u8 [th, tw, 3] at 1/scale_denom of the
+// stored resolution (DCT-domain scaling; denom 1 = full size). If the
+// decoded size differs from (th, tw), fails (shards are written
+// size-normalized, and (th, tw) are precomputed with libjpeg's ceil rule).
 int decode_jpeg(const uint8_t* data, size_t len, uint8_t* out, int th,
-                int tw) {
+                int tw, unsigned scale_denom) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -98,6 +108,8 @@ int decode_jpeg(const uint8_t* data, size_t len, uint8_t* out, int th,
                static_cast<unsigned long>(len));
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = scale_denom;
   jpeg_start_decompress(&cinfo);
   if (static_cast<int>(cinfo.output_height) != th ||
       static_cast<int>(cinfo.output_width) != tw ||
@@ -184,7 +196,7 @@ int load_clip_frames(const Store& s, int clip, const int32_t* frame_idx,
   if (clip < 0 || static_cast<uint64_t>(clip) >= s.hdr.n_clips) return -4;
   const ClipMeta& m = s.clips[clip];
   const size_t frame_bytes =
-      static_cast<size_t>(s.hdr.h) * s.hdr.w * 3;
+      static_cast<size_t>(s.out_h) * s.out_w * 3;
   for (int i = 0; i < k; ++i) {
     int32_t f = frame_idx[i];
     if (f < 0 || f >= m.fixed.n_frames) return -5;
@@ -195,8 +207,8 @@ int load_clip_frames(const Store& s, int clip, const int32_t* frame_idx,
       std::memcpy(dst, src, frame_bytes);
     } else {
       int rc = decode_jpeg(src, m.frame_len[f], dst,
-                           static_cast<int>(s.hdr.h),
-                           static_cast<int>(s.hdr.w));
+                           static_cast<int>(s.out_h),
+                           static_cast<int>(s.out_w), s.scale_denom);
       if (rc != 0) return rc;
     }
   }
@@ -241,8 +253,11 @@ struct Loader {
 
 extern "C" {
 
-// Opens an EOVC file. Returns handle (>0) or negative error.
-void* eovc_open(const char* path, int n_threads) {
+// Opens an EOVC file with DCT-scaled jpeg decode at 1/scale_denom
+// (1, 2, 4 or 8; jpeg codec only — raw shards refuse any scaling).
+// Returns handle or nullptr.
+void* eovc_open_scaled(const char* path, int n_threads,
+                       int32_t scale_denom) {
   auto* L = new Loader();
   L->store.fd = open(path, O_RDONLY);
   if (L->store.fd < 0) {
@@ -314,9 +329,24 @@ void* eovc_open(const char* path, int n_threads) {
         return fail();
     }
   }
+  if (scale_denom != 1 && scale_denom != 2 && scale_denom != 4 &&
+      scale_denom != 8)
+    return fail();
+  if (scale_denom != 1 && L->store.hdr.codec != kCodecJpeg) return fail();
+  L->store.scale_denom = static_cast<uint32_t>(scale_denom);
+  // libjpeg's DCT-scaled output dimension rule: ceil(dim / denom).
+  L->store.out_h = (L->store.hdr.h + L->store.scale_denom - 1) /
+                   L->store.scale_denom;
+  L->store.out_w = (L->store.hdr.w + L->store.scale_denom - 1) /
+                   L->store.scale_denom;
   L->n_threads = n_threads > 0 ? n_threads : 1;
   L->pool.reset(new Pool(L->n_threads));
   return L;
+}
+
+// Back-compat entry point (full-resolution decode).
+void* eovc_open(const char* path, int n_threads) {
+  return eovc_open_scaled(path, n_threads, 1);
 }
 
 void eovc_close(void* h) {
@@ -332,10 +362,10 @@ int64_t eovc_n_clips(void* h) {
   return static_cast<int64_t>(static_cast<Loader*>(h)->store.hdr.n_clips);
 }
 int32_t eovc_height(void* h) {
-  return static_cast<int32_t>(static_cast<Loader*>(h)->store.hdr.h);
+  return static_cast<int32_t>(static_cast<Loader*>(h)->store.out_h);
 }
 int32_t eovc_width(void* h) {
-  return static_cast<int32_t>(static_cast<Loader*>(h)->store.hdr.w);
+  return static_cast<int32_t>(static_cast<Loader*>(h)->store.out_w);
 }
 int32_t eovc_codec(void* h) {
   return static_cast<int32_t>(static_cast<Loader*>(h)->store.hdr.codec);
@@ -359,7 +389,7 @@ int32_t eovc_load_batch(void* h, const int32_t* clips, int32_t b,
                         const int32_t* frames, int32_t k, uint8_t* out) {
   auto* L = static_cast<Loader*>(h);
   const size_t clip_bytes =
-      static_cast<size_t>(k) * L->store.hdr.h * L->store.hdr.w * 3;
+      static_cast<size_t>(k) * L->store.out_h * L->store.out_w * 3;
   Completion done;
   done.Arm(b);
   for (int32_t i = 0; i < b; ++i) {
@@ -384,7 +414,7 @@ int32_t eovc_submit(void* h, const int32_t* clips, int32_t b,
   batch->out = out;
   batch->done.Arm(b);
   const size_t clip_bytes =
-      static_cast<size_t>(k) * L->store.hdr.h * L->store.hdr.w * 3;
+      static_cast<size_t>(k) * L->store.out_h * L->store.out_w * 3;
   for (int32_t i = 0; i < b; ++i) {
     Task t{&L->store, batch->clips[i],
            batch->frames.data() + static_cast<size_t>(i) * k, k,

@@ -141,3 +141,47 @@ def test_cli_embodied_roundtrip_paired_compare(tmp_path, capsys):
             "--store", real, "--embodied",
         ])
     capsys.readouterr()
+
+
+def test_cli_jpeg_scale_denom_accuracy_delta_zero(tmp_path, capsys):
+    """DCT-scaled decode as a feed lever (VERDICT r3 #3): features from
+    the SAME jpeg shard decoded full vs at 1/2, evaluated on the identical
+    canonical episode set — the paired accuracy delta must be zero on the
+    synthetic protocol (pixel deltas of the scaled IDCT are far below the
+    matcher's margins)."""
+    from eov_tpu.data.datasets import SyntheticVideoDataset
+    from eov_tpu.runtime.native import native_available
+    from eov_tpu.tools.pack_eovc import pack
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    ds = SyntheticVideoDataset(
+        n_classes=4, clips_per_class=3, height=128, width=160,
+        min_frames=8, max_frames=12, seed=3,
+    )
+    shard = str(tmp_path / "hi.jpeg.eovc")
+    pack(ds, shard, storage_short_side=128, codec="jpeg")
+
+    outs = {}
+    for denom in (1, 2):
+        store = str(tmp_path / f"feats_d{denom}")
+        _run(capsys, [
+            "extract", "--platform", "cpu", "--preset", "synthetic_smoke",
+            "--dataset", "eovc", "--root", shard, "--arch", "resnet18",
+            "--jpeg-scale-denom", str(denom), "--store", store,
+        ])
+        per = str(tmp_path / f"per_d{denom}.json")
+        _run(capsys, [
+            "eval", "--platform", "cpu", "--preset", "synthetic_smoke",
+            "--store", store, "--per-episode-out", per,
+        ])
+        outs[denom] = per
+
+    from eov_tpu.tools import compare_eval
+
+    rc = compare_eval.main([outs[2], outs[1]])
+    out = capsys.readouterr().out
+    assert rc == 0
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["mean_diff"] == 0.0, stats
+    assert stats["ties"] == stats["n_episodes"], stats

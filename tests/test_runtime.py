@@ -231,3 +231,42 @@ def test_native_loader_survives_byte_flip_fuzz(tmp_path):
     # Sanity: the fuzz actually exercised the open path sometimes
     # (payload-only flips leave the index valid).
     assert opened > 0
+
+
+def test_native_dct_scaled_decode(jpeg_shard, raw_shard):
+    """DCT-domain scaled decode (VERDICT r3 #3): scale_denom=2 halves the
+    reported dims, frames approximate a 2x2 box downsample of the full
+    decode, raw shards and bad denominators refuse at open, and the
+    EovcVideoDataset wiring sizes its pooled batches from the scaled
+    dims."""
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    path, ds = jpeg_shard
+    full = NativeClipLoader(path)
+    half = NativeClipLoader(path, scale_denom=2)
+    assert (half.height, half.width) == (full.height // 2, full.width // 2)
+
+    idx = np.arange(4, dtype=np.int32)[None, :]
+    f = full.load_batch([0], idx)[0].astype(np.float32)
+    h = half.load_batch([0], idx)[0].astype(np.float32)
+    # libjpeg's scaled IDCT approximates 2x2 box averaging of the full
+    # decode; synthetic gratings carry real high-frequency content, so
+    # the bound is loose but still excludes a wrong-phase/wrong-size read.
+    box = f.reshape(4, h.shape[1], 2, h.shape[2], 2, 3).mean((2, 4))
+    assert np.abs(h - box).mean() < 8.0
+    full.close()
+    half.close()
+
+    # Raw shards refuse scaling; so does a non-power-of-two denominator.
+    raw_path, _ = raw_shard
+    with pytest.raises(IOError):
+        NativeClipLoader(raw_path, scale_denom=2)
+    with pytest.raises(IOError):
+        NativeClipLoader(path, scale_denom=3)
+
+    # Dataset-level wiring: pooled get_batch comes back at scaled dims.
+    eds = EovcVideoDataset(path, jpeg_scale_denom=2)
+    recs = eds.records[:2]
+    bidx = np.zeros((2, 3), np.int32)
+    out = eds.get_batch(recs, bidx)
+    assert out.shape == (2, 3, 20, 28, 3)

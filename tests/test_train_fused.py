@@ -291,3 +291,123 @@ def test_fused_train_step_matches_monolith_resnet101():
         lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params
     )))
     assert mx < 1e-4, f"param divergence {mx}"
+
+
+def test_maxpool_vjp_matches_autodiff_bitwise():
+    """ops/pool.maxpool_3x3_s2_vjp: forward == nn.max_pool bit-for-bit and
+    the custom one-hot backward == jax.grad of the reference pool —
+    including TIE routing (first maximal element in row-major window
+    order), exercised by post-relu-style inputs with many exact zeros and
+    by quantized values that collide inside windows (r4, VERDICT #1b)."""
+    import flax.linen as nn
+
+    from eov_tpu.ops.pool import maxpool_3x3_s2_vjp
+
+    def ref(x):
+        return nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+    rng = np.random.default_rng(0)
+    cases = [
+        # post-relu style: ~half zeros, heavy ties
+        np.maximum(rng.normal(0, 1, (2, 12, 16, 8)), 0).astype(np.float32),
+        # quantized: in-window value collisions beyond zero
+        (rng.integers(0, 4, (2, 10, 10, 4))).astype(np.float32),
+        # all-zero: every window ties everywhere
+        np.zeros((1, 8, 8, 3), np.float32),
+        # odd spatial size
+        np.maximum(rng.normal(0, 1, (2, 11, 13, 4)), 0).astype(np.float32),
+    ]
+    for x_np in cases:
+        x = jnp.asarray(x_np)
+        y_ref, y_new = ref(x), maxpool_3x3_s2_vjp(x)
+        np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_new))
+        ct = jnp.asarray(
+            rng.normal(0, 1, y_ref.shape).astype(np.float32)
+        )
+        g_ref = np.asarray(jax.grad(lambda v: (ref(v) * ct).sum())(x))
+        g_new = np.asarray(
+            jax.grad(lambda v: (maxpool_3x3_s2_vjp(v) * ct).sum())(x)
+        )
+        # Routing must be IDENTICAL (same tie winner in every window) —
+        # the nonzero pattern proves it; values may differ in the last
+        # ulp where a position sums cotangents from multiple windows in
+        # a different order than select_and_scatter.
+        np.testing.assert_array_equal(g_ref != 0, g_new != 0)
+        np.testing.assert_allclose(g_ref, g_new, rtol=1e-6, atol=1e-7)
+
+
+def test_stem_s2d_conv_matches_plain_fwd_and_grads():
+    """models/fused_train._S2DConv1 (s2d rewrite with the ORIGINAL 7x7
+    params, r4 VERDICT #1a): same function of (x, params) as the plain
+    stem conv — forward and parameter/input gradients agree up to conv
+    accumulation order (f32 tolerance), and the param tree layout is
+    identical (['conv1']['kernel'] at [7,7,3,64])."""
+    from eov_tpu.models.fused_train import ResNetStem
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    plain = ResNetStem(dtype=jnp.float32, s2d=False)
+    s2d = ResNetStem(dtype=jnp.float32, s2d=True)
+    v = plain.init(jax.random.PRNGKey(0), x, train=False)
+    assert v["params"]["conv1"]["kernel"].shape == (7, 7, 3, 64)
+    v2 = s2d.init(jax.random.PRNGKey(0), x, train=False)
+    assert v2["params"]["conv1"]["kernel"].shape == (7, 7, 3, 64)
+
+    def loss(mod):
+        def f(params, x):
+            out = mod.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, train=False,
+            )
+            return (out * out).sum()
+        return f
+
+    y1 = plain.apply(v, x, train=False)
+    y2 = s2d.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-5, atol=1e-5)
+    g1 = jax.grad(loss(plain))(v["params"], x)
+    g2 = jax.grad(loss(s2d))(v["params"], x)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        ), g1, g2,
+    )
+
+
+def test_train_step_s2d_and_pool_vjp_match_baseline():
+    """Full fused train steps with stem_s2d='on' and pool_vjp='on' track
+    the baseline fused step: same losses and same params after 3 steps
+    (f32, tolerance for conv accumulation order)."""
+    cfg_ref, cfg_fus, state, frames, labels = _train_fixture()
+    base = dataclasses.replace(cfg_fus, stem_s2d="off", pool_vjp="off")
+    variants = {
+        "s2d": dataclasses.replace(cfg_fus, stem_s2d="on", pool_vjp="off"),
+        "pool": dataclasses.replace(cfg_fus, stem_s2d="off", pool_vjp="on"),
+        "both": dataclasses.replace(cfg_fus, stem_s2d="on", pool_vjp="on"),
+    }
+    step0 = tr.make_train_step(base, donate=False)
+    s0 = state
+    losses0 = []
+    for i in range(3):
+        s0, m = step0(s0, frames, labels, jax.random.PRNGKey(40 + i))
+        losses0.append(float(m["loss"]))
+    for name, cfg in variants.items():
+        sv = state
+        step = tr.make_train_step(cfg, donate=False)
+        for i in range(3):
+            sv, m = step(sv, frames, labels, jax.random.PRNGKey(40 + i))
+            assert abs(float(m["loss"]) - losses0[i]) < 1e-4, (name, i)
+        mx = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), s0.params, sv.params
+        )))
+        assert mx < 1e-4, (name, mx)
+
+
+def test_stem_s2d_and_pool_vjp_require_fused_path():
+    for kw in ({"stem_s2d": "on"}, {"pool_vjp": "on"}):
+        with pytest.raises(ValueError, match="fused stem path"):
+            tr.make_train_step(
+                tr.TrainConfig(partial_bn=True, fused_stage1="off", **kw),
+                donate=False,
+            )

@@ -145,3 +145,50 @@ def test_labeled_run_over_flat_root_raises(tmp_path):
     (tmp_path / "a.avi").write_bytes(b"\x00")
     with pytest.raises(FileNotFoundError, match="no class subdirectories"):
         VideoFileDataset(str(tmp_path), only_classes=["class_a"])
+
+
+def test_pooled_get_batch_matches_per_record(video_root):
+    """Threaded pooled decode == per-record get_frames exactly (r4,
+    VERDICT r3 #2): same bytes, out= writes rows in place, worker errors
+    surface, mixed resolutions refuse instead of mis-stacking."""
+    ds = VideoFileDataset(video_root)
+    recs = ds.records
+    idx = np.stack([
+        np.linspace(0, r.num_frames - 1, 4).astype(np.int32) for r in recs
+    ])
+    want = np.stack([ds.get_frames(r, i) for r, i in zip(recs, idx)])
+
+    got = ds.get_batch(recs, idx)
+    np.testing.assert_array_equal(want, got)
+
+    out = np.zeros_like(want)
+    got2 = ds.get_batch(recs, idx, out=out)
+    assert got2 is out
+    np.testing.assert_array_equal(want, out)
+
+    # Forced single-worker path is the same code; parity there too.
+    os.environ["EOV_VIDEODIR_THREADS"] = "1"
+    try:
+        np.testing.assert_array_equal(want, ds.get_batch(recs, idx))
+    finally:
+        del os.environ["EOV_VIDEODIR_THREADS"]
+
+    # extract.py's pooled fast path picks it up end to end.
+    from eov_tpu.data.datasets import get_batch_accepts_out
+
+    assert get_batch_accepts_out(ds.get_batch) is True
+
+
+def test_pooled_get_batch_mixed_resolution_raises(tmp_path):
+    root = tmp_path / "videos"
+    os.makedirs(root / "c")
+    _write_video(str(root / "c" / "a.mp4"), 6, h=48, w=64)
+    _write_video(str(root / "c" / "b.mp4"), 6, h=32, w=48)
+    ds = VideoFileDataset(str(root))
+    idx = np.zeros((2, 2), np.int32)
+    with pytest.raises(ValueError, match="mixed frame resolutions"):
+        ds.get_batch(ds.records, idx)
+    # With out=, the mismatching worker refuses with the buffer message.
+    out = np.zeros((2, 2, 48, 64, 3), np.uint8)
+    with pytest.raises(ValueError, match="out buffer mismatch"):
+        ds.get_batch(ds.records, idx, out=out)
