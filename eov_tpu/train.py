@@ -61,16 +61,18 @@ class TrainConfig:
     fused_stage2: str = "auto"
     # Stem conv via the space-to-depth rewrite INSIDE the forward (same
     # [7,7,3,64] params — exact reparametrization, no optimizer changes;
-    # models/fused_train._S2DConv1). The inference twin measured negative
-    # (BASELINE.md r1) but the TRAIN regime differs: conv1's dgrad/wgrad
-    # over 3 input channels is the backward's worst MXU shape and s2d
-    # widens the contraction to 12 (VERDICT r3 #1a). 'auto' defers to the
-    # measured default; 'on' forces; 'off' disables. Fused stem path only.
+    # models/fused_train._S2DConv1). Built for VERDICT r3 #1a on the theory
+    # that conv1's 3-channel dgrad/wgrad (the backward's worst MXU shape)
+    # would pay for a 12-wide contraction — measured NEGATIVE in the train
+    # regime too: 717 vs 804 clips/s (BASELINE.md r4). 'auto' = off (the
+    # measured default); 'on' forces it (reproduces the negative).
     stem_s2d: str = "auto"
     # Stem maxpool through ops/pool.maxpool_3x3_s2_vjp: identical forward,
     # custom backward (one-hot first-max routing) instead of XLA's
-    # select_and_scatter (1.4 ms / 3.3% of the step in the §9b trace).
-    # Same 'auto'/'on'/'off' convention; fused stem path only.
+    # select_and_scatter (1.4 ms / 3.3% of the step in the §9b trace) —
+    # measured STRONGLY NEGATIVE: 513 vs 804 clips/s (BASELINE.md r4; the
+    # replacement's 9 input-resolution scatter/adds dwarf what it saves).
+    # 'auto' = off; 'on' forces it. Fused stem path only.
     pool_vjp: str = "auto"
     compute_dtype: str = "bfloat16"
     scale_size: int = 256
@@ -225,18 +227,19 @@ def make_train_step(
         on_tpu = jax.default_backend() == "tpu"
         sizes = get_arch(cfg.arch)[1]  # stage depths (e.g. 50: (3,4,6,3))
         cdt = jnp.dtype(cfg.compute_dtype)
-        # 'auto' resolves to the measured default (BASELINE.md r4 row);
-        # even crop sizes only (the 2x2 phase fold needs H, W even).
-        s2d = cfg.stem_s2d == "on" or (
-            cfg.stem_s2d == "auto" and on_tpu and cfg.crop_size % 2 == 0
-        )
+        # 'auto' resolves to the measured defaults — BOTH OFF (BASELINE.md
+        # r4 rows): s2d-for-training measured 717 vs 804 clips/s (the wider
+        # stem contraction doesn't pay for the input-phase relayout, same
+        # verdict as the r1 inference twin), and the pool custom VJP
+        # measured 513 vs 804 (its 9 full-input-resolution pad/add scatters
+        # cost far more HBM than the 1.4 ms select_and_scatter they
+        # replace). 'on' keeps each reproducible.
+        s2d = cfg.stem_s2d == "on"
         if s2d and cfg.crop_size % 2:
             raise ValueError(
                 f"stem_s2d='on' needs an even crop_size, got {cfg.crop_size}"
             )
-        pool_vjp = cfg.pool_vjp == "on" or (
-            cfg.pool_vjp == "auto" and on_tpu
-        )
+        pool_vjp = cfg.pool_vjp == "on"
         stem = ResNetStem(dtype=cdt, s2d=s2d, pool_vjp=pool_vjp)
         mid = (
             ResNetSlice(blocks=stage_block_specs(sizes, 64, (2,))[:1],
