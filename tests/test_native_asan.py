@@ -36,28 +36,39 @@ vid, label, nf = ld.clip_info(0)
 batch = ld.load_batch([0, 1], np.zeros((2, 3), np.int32))
 assert batch.shape[0] == 2 and batch.dtype == np.uint8
 
-data = bytearray(open(path, "rb").read())
-rng = np.random.default_rng(0)
+jpath = sys.argv[4]
+# Clean scaled round-trip on the jpeg shard (the r4 DCT-scaled path:
+# scaled dims drive the output buffer sizing).
+ldj = native.NativeClipLoader(jpath, n_threads=2, scale_denom=2)
+bj = ldj.load_batch([0, 1], np.zeros((2, 3), np.int32))
+assert bj.shape[0] == 2 and bj.dtype == np.uint8
+
 opened = 0
-for trial in range(150):
-    mut = bytearray(data)
-    for _ in range(int(rng.integers(1, 5))):
-        if rng.integers(2):
-            pos = int(rng.integers(0, 40))
-        else:
-            pos = int(rng.integers(0, len(mut)))
-        mut[pos] ^= int(rng.integers(1, 256))
-    p = os.path.join(out_dir, "m.eovc")
-    open(p, "wb").write(mut)
-    try:
-        ld = native.NativeClipLoader(p, n_threads=1)
-        opened += 1
-        for ci in range(min(ld.n_clips, 4)):
-            _, _, nf = ld.clip_info(ci)
-            if 0 < nf <= 64:
-                ld.load_batch([ci], np.zeros((1, 2), np.int32))
-    except Exception:
-        pass
+rng = np.random.default_rng(0)
+# Fuzz all three untrusted-input decode configs: raw, jpeg full-size, and
+# jpeg DCT-scaled (denom 2 — mutated payloads carry arbitrary header dims,
+# and the scaled path's ceil-rule buffer sizing must refuse, not overflow).
+for src, denom, trials in ((path, 1, 150), (jpath, 1, 100), (jpath, 2, 100)):
+    data = bytearray(open(src, "rb").read())
+    for trial in range(trials):
+        mut = bytearray(data)
+        for _ in range(int(rng.integers(1, 5))):
+            if rng.integers(2):
+                pos = int(rng.integers(0, 40))
+            else:
+                pos = int(rng.integers(0, len(mut)))
+            mut[pos] ^= int(rng.integers(1, 256))
+        p = os.path.join(out_dir, "m.eovc")
+        open(p, "wb").write(mut)
+        try:
+            ld = native.NativeClipLoader(p, n_threads=1, scale_denom=denom)
+            opened += 1
+            for ci in range(min(ld.n_clips, 4)):
+                _, _, nf = ld.clip_info(ci)
+                if 0 < nf <= 64:
+                    ld.load_batch([ci], np.zeros((1, 2), np.int32))
+        except Exception:
+            pass
 assert opened > 0
 print("ASAN_FUZZ_OK", opened)
 """
@@ -88,6 +99,8 @@ def test_native_loader_asan_fuzz(tmp_path):
                                height=40, width=48)
     shard = str(tmp_path / "a.eovc")
     pack(ds, shard, storage_short_side=36, codec="raw")
+    jshard = str(tmp_path / "j.eovc")
+    pack(ds, jshard, storage_short_side=36, codec="jpeg")
 
     child = str(tmp_path / "child.py")
     with open(child, "w") as f:
@@ -100,7 +113,7 @@ def test_native_loader_asan_fuzz(tmp_path):
         ASAN_OPTIONS="detect_leaks=0",
     )
     r = subprocess.run(
-        [sys.executable, child, shard, str(tmp_path), _REPO],
+        [sys.executable, child, shard, str(tmp_path), _REPO, jshard],
         capture_output=True, text=True, env=env, timeout=300,
     )
     out = r.stdout + r.stderr
