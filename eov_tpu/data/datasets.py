@@ -457,7 +457,27 @@ class EovcVideoDataset:
                     raise ValueError(f"duplicate video_id across shards: {vid}")
                 self.records.append(VideoRecord(vid, nf, label))
                 self._index[vid] = (s, i)
+        if not class_names:
+            # pack_eovc writes a class-name sidecar next to the shards (the
+            # container stores integer labels only); auto-loading it keeps
+            # real names through the pack -> extract chain, which embodied
+            # fusion needs (virtual banks align by class NAME).
+            sidecar = (
+                os.path.join(path, "classes.json") if os.path.isdir(path)
+                else path + ".classes.json"
+            )
+            if os.path.exists(sidecar):
+                import json
+
+                with open(sidecar) as f:
+                    class_names = json.load(f)["class_names"]
         max_label = max((r.label for r in self.records), default=-1)
+        if class_names and len(class_names) <= max_label:
+            raise ValueError(
+                f"class names list ({len(class_names)}) shorter than the "
+                f"stored label range (max label {max_label}) — wrong or "
+                "stale sidecar/split for these shards?"
+            )
         self.class_names = (
             list(class_names)
             if class_names

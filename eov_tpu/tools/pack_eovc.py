@@ -72,6 +72,22 @@ def pack(dataset, out_path: str, *, storage_short_side: int | None = 256,
     if clips_per_shard:
         os.makedirs(out_path, exist_ok=True)
 
+    # Class-name sidecar (the EOVC container itself stores only integer
+    # labels): EovcVideoDataset auto-loads this, so names survive the
+    # videodir/framedir -> EOVC -> extract -> embodied chain (embodied
+    # fusion aligns virtual banks by class NAME — numeric fallback names
+    # would refuse with 'no virtual clips for classes').
+    names = list(getattr(dataset, "class_names", []) or [])
+    if names:
+        import json
+
+        sidecar = (
+            os.path.join(out_path, "classes.json") if clips_per_shard
+            else out_path + ".classes.json"
+        )
+        with open(sidecar, "w") as f:
+            json.dump({"class_names": names}, f)
+
     wr, shard_i, in_shard = None, 0, 0
     for rec in dataset.records:
         if wr is None:

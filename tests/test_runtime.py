@@ -270,3 +270,28 @@ def test_native_dct_scaled_decode(jpeg_shard, raw_shard):
     bidx = np.zeros((2, 3), np.int32)
     out = eds.get_batch(recs, bidx)
     assert out.shape == (2, 3, 20, 28, 3)
+
+
+def test_pack_class_name_sidecar(tmp_path):
+    """pack_eovc writes a class-name sidecar and EovcVideoDataset auto-loads
+    it: names must survive the pack -> extract chain (embodied fusion
+    aligns virtual banks by class NAME; the container itself stores only
+    integer labels, so without the sidecar a packed store degraded to
+    numeric names and embodied alignment refused on every class)."""
+    ds = SyntheticVideoDataset(n_classes=3, clips_per_class=1, seed=0,
+                               height=40, width=48)
+    # Sharded production layout: sidecar at <dir>/classes.json.
+    d = str(tmp_path / "shards")
+    pack(ds, d, storage_short_side=36, codec="raw", clips_per_shard=2)
+    assert EovcVideoDataset(d).class_names == list(ds.class_names)
+    # Single file: <path>.classes.json.
+    p = str(tmp_path / "one.eovc")
+    pack(ds, p, storage_short_side=36, codec="raw")
+    assert EovcVideoDataset(p).class_names == list(ds.class_names)
+    # Explicit names override the sidecar.
+    explicit = ["x", "y", "z"]
+    assert EovcVideoDataset(p, class_names=explicit).class_names == explicit
+    # A names list shorter than the stored label range refuses loudly
+    # (wrong/stale sidecar or split for these shards).
+    with pytest.raises(ValueError, match="shorter than"):
+        EovcVideoDataset(p, class_names=["only_one"])
