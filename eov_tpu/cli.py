@@ -549,7 +549,7 @@ def cmd_episode(args) -> int:
     classes = rng.choice(sorted(by_class), size=n_way, replace=False)
 
     def feat(rec):
-        from eov_tpu.extract import _center_indices_np
+        from eov_tpu.data.segments import center_indices_np as _center_indices_np
 
         idx = _center_indices_np(rec.num_frames, preset.extract.num_segments)
         frames = dataset.get_frames(rec, idx)[None]

@@ -29,6 +29,7 @@ __all__ = [
     "random_indices",
     "center_indices_batch",
     "random_indices_batch",
+    "center_indices_np",
 ]
 
 
@@ -105,3 +106,18 @@ def random_indices_batch(
     return jax.vmap(lambda kk, f: random_indices(kk, f, num_segments))(
         keys, num_frames
     )
+
+
+def center_indices_np(num_frames: int, num_segments: int):
+    """Host-side (numpy) twin of `center_indices` — the ONE mirror.
+
+    Decode paths sample indices on host before frames exist on device;
+    this is the same exact integer rule, kept here so extract/train/eval
+    host loops cannot drift from the jittable definition (the jax twin is
+    property-tested against the TSN formula in tests/test_segments.py).
+    """
+    import numpy as np
+
+    k = num_segments
+    idx = (num_frames * (2 * np.arange(k) + 1)) // (2 * k)
+    return np.minimum(idx, num_frames - 1)

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from eov_tpu.data.datasets import VideoDataset, VideoRecord
+from eov_tpu.data.segments import center_indices_np as _center_indices_np
 from eov_tpu.data.store import FeatureStore
 from eov_tpu.models import feature_apply, get_arch
 from eov_tpu.ops import preprocess
@@ -153,10 +154,6 @@ def _put_buf(buf: np.ndarray) -> None:
             _HOST_BUFS.popitem(last=False)
 
 
-def _center_indices_np(num_frames: int, k: int) -> np.ndarray:
-    """Host-side exact TSN center sampling (mirrors data/segments.py)."""
-    idx = (num_frames * (2 * np.arange(k) + 1)) // (2 * k)
-    return np.minimum(idx, num_frames - 1)
 
 
 def make_feature_fn(params, cfg: ExtractConfig) -> Callable:

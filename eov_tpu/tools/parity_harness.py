@@ -91,7 +91,7 @@ def run(args) -> dict:
 
     from eov_tpu.data.datasets import SyntheticVideoDataset
     from eov_tpu.eval import EvalConfig, FeatureTable, evaluate
-    from eov_tpu.extract import _center_indices_np
+    from eov_tpu.data.segments import center_indices_np as _center_indices_np
 
     # --- weights: real state_dict, or shared random fixture weights ---
     if args.params:

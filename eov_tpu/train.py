@@ -371,7 +371,7 @@ def evaluate_classifier(
     """
     import numpy as np
 
-    from eov_tpu.data import segments as seg  # noqa: F401 (host mirror below)
+    from eov_tpu.data.segments import center_indices_np
 
     model = get_arch(cfg.arch)[0](
         num_classes=cfg.num_classes,
@@ -406,11 +406,9 @@ def evaluate_classifier(
         # per-clip deterministic, so grouping never changes the result.
         groups: dict[tuple, tuple[list, list]] = {}
         for r in batch:
-            idx = (
-                r.num_frames * (2 * np.arange(cfg.num_segments) + 1)
-            ) // (2 * cfg.num_segments)
-            idx = np.minimum(idx, r.num_frames - 1)
-            clip = dataset.get_frames(r, idx)
+            clip = dataset.get_frames(
+                r, center_indices_np(r.num_frames, cfg.num_segments)
+            )
             g = groups.setdefault(clip.shape[1:3], ([], []))
             g[0].append(clip)
             g[1].append(r.label)
@@ -532,8 +530,6 @@ def train_epoch(
     mixed-resolution bucketing is refused loudly.
     """
     import numpy as np
-
-    from eov_tpu.data import segments as seg  # noqa: F401 (host mirror below)
 
     multi = mesh is not None and jax.process_count() > 1
     if multi:
