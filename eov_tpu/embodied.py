@@ -90,6 +90,14 @@ def align_virtual_bank(
     ways — the reference behaves the same when a class has no virtual clips
     [PAPER]).
     """
+    if not real_class_names:
+        # Gathering from a [0, V, D] bank inside jit would clamp-index
+        # garbage rather than fail; refuse where the cause is visible.
+        raise ValueError(
+            "real store has no class names — cannot align a virtual bank "
+            "(re-extract with a dataset that carries class names, or pass "
+            "a split json)"
+        )
     vmap_by_name: Mapping[str, int] = {
         normalize_class_name(n): i for i, n in enumerate(virtual_class_names)
     }
@@ -110,4 +118,17 @@ def align_virtual_bank(
         out_c[i] = vc[j]
     if missing and strict:
         raise KeyError(f"no virtual clips for classes: {missing}")
+    if len(missing) == c_real:
+        # Per-class degradation (count 0 -> plain one-shot for that way) is
+        # the documented rule, but a TOTAL mismatch means an embodied run
+        # would silently report plain numbers under the embodied label —
+        # that is a configuration error (wrong store, numeric fallback
+        # names), not graceful degradation. Raise regardless of strict.
+        raise ValueError(
+            "no virtual class aligns with ANY real class (real e.g. "
+            f"{list(real_class_names)[:3]}, virtual e.g. "
+            f"{list(virtual_class_names)[:3]}) — embodied eval would "
+            "silently equal plain eval; check both stores carry real "
+            "class names"
+        )
     return FeatureTable(jnp.asarray(out_f), jnp.asarray(out_c))

@@ -305,6 +305,21 @@ def test_align_virtual_bank_name_normalization():
         align_virtual_bank(["zzz"], ["HighJump"], vt, strict=True)
 
 
+def test_align_virtual_bank_total_mismatch_refuses():
+    """Per-class misses degrade gracefully (count 0), but a TOTAL mismatch
+    means embodied eval would silently report plain numbers under the
+    embodied label (numeric fallback names were exactly this failure) —
+    it must refuse even without strict=True. An empty real-name list
+    refuses too (a [0, V, D] bank would clamp-gather garbage in jit)."""
+    vt = eov_eval.FeatureTable(
+        jnp.ones((2, 3, 4)), jnp.asarray([3, 2], jnp.int32)
+    )
+    with pytest.raises(ValueError, match="ANY real class"):
+        align_virtual_bank(["0", "1", "2"], ["HighJump", "PushUps"], vt)
+    with pytest.raises(ValueError, match="no class names"):
+        align_virtual_bank([], ["HighJump"], vt)
+
+
 def test_extract_mixed_resolution_dataset(tmp_path):
     """Raw framedir datasets have per-video resolutions; extraction must
     group by shape (one device batch per resolution), not crash on stack."""
