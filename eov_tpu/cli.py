@@ -591,6 +591,7 @@ def cmd_train(args) -> int:
         dist.initialize()  # before first backend use; pod auto-detect
 
     import jax
+    import numpy as np
 
     from eov_tpu import train as eov_train
     from eov_tpu.config import resolved_dict
@@ -637,6 +638,39 @@ def cmd_train(args) -> int:
                                 n_data),
             )
     state = eov_train.create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
+    if args.params:
+        # Warm start from pretrained/ported weights — the reference's
+        # finetune workflow is ImageNet backbone + fresh fc head
+        # (SURVEY.md §3.5); this flag was advertised but silently ignored
+        # before r4. Backbone params/stats replace the random init; the fc
+        # head stays freshly initialized unless the checkpoint carries one
+        # of the right width. A resume checkpoint under --out (below)
+        # takes precedence over the warm start.
+        init = _load_params(args, cfg.compute_dtype)
+        ip = dict(init.get("params", {}))
+        fc = ip.get("fc")
+        if fc is not None and (
+            np.asarray(fc["kernel"]).shape[-1] != cfg.num_classes
+        ):
+            print(
+                f"--params head is {np.asarray(fc['kernel']).shape[-1]}-way; "
+                f"training {cfg.num_classes} classes — keeping a fresh fc",
+                file=sys.stderr,
+            )
+            ip.pop("fc")
+        missing = set(state.params) - set(ip) - {"fc"}
+        if missing:
+            raise SystemExit(
+                f"--params is missing backbone modules {sorted(missing)[:4]}"
+                f"... for arch {cfg.arch} — wrong --arch or checkpoint?"
+            )
+        state = eov_train.TrainState(
+            step=state.step,
+            params={**state.params, **ip},
+            batch_stats={**state.batch_stats,
+                         **init.get("batch_stats", {})},
+            opt_state=state.opt_state,
+        )
     start_epoch = 0
     if args.out:
         # Resume from the newest per-epoch checkpoint (reference parity:

@@ -6,6 +6,8 @@ reference's DataLoader handles ragged resolutions via per-worker PIL, the
 TPU-native build buckets per resolution (static shapes per XLA program).
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -76,3 +78,55 @@ def test_evaluate_classifier_mixed_resolution():
     # Deterministic per-clip protocol: batch packing can't change the score.
     m2 = tr.evaluate_classifier(state, cfg, ds, batch_clips=7)
     assert m["top1"] == m2["top1"]
+
+
+def test_cli_train_params_warm_start(tmp_path, capsys):
+    """`eov train --params <weights>` must actually warm-start the backbone
+    (the reference's finetune workflow: pretrained backbone + fresh fc).
+    The flag was advertised but silently ignored before r4 — training ran
+    from random init whatever --params said."""
+    from eov_tpu import cli
+    from eov_tpu.models import get_arch
+    from eov_tpu.tools.port_torch import port_resnet_state_dict, \
+        export_resnet_state_dict
+    from eov_tpu.utils.checkpoint import load_pytree
+
+    # A recognizable donor backbone, exported torchvision-style to .npz
+    # (what _load_params ports back in).
+    ctor, sizes, bottleneck = get_arch("resnet18")
+    donor = ctor(dtype=jnp.float32).init(
+        jax.random.PRNGKey(123), jnp.zeros((1, 32, 32, 3))
+    )
+    npz = str(tmp_path / "donor.npz")
+    np.savez(npz, **export_resnet_state_dict(
+        donor, stage_sizes=sizes, bottleneck=bottleneck
+    ))
+
+    out_dir = str(tmp_path / "run")
+    rc = cli.main([
+        "train", "--platform", "cpu", "--dataset", "synthetic",
+        "--synthetic-classes", "3", "--synthetic-clips", "2",
+        "--arch", "resnet18", "--batch", "4", "--num-segments", "2",
+        "--scale-size", "36", "--crop-size", "32",
+        "--lr", "1e-6",  # tiny: saved params stay near their init
+        "--epochs", "1", "--params", npz, "--out", out_dir,
+    ])
+    assert rc == 0, capsys.readouterr().out
+
+    saved = load_pytree(os.path.join(out_dir, "step_0"))
+    got = np.asarray(saved["params"]["conv1"]["kernel"])
+    donor_k = np.asarray(donor["params"]["conv1"]["kernel"])
+    # What the random init WOULD have been (cfg.seed defaults to 0).
+    fresh = ctor(num_classes=3, dtype=jnp.float32).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+    )["params"]["conv1"]["kernel"]
+    d_donor = float(np.abs(got - donor_k).max())
+    d_fresh = float(np.abs(got - np.asarray(fresh)).max())
+    assert d_donor < 1e-3, d_donor          # descended from the donor
+    assert d_fresh > 10 * max(d_donor, 1e-9)  # not from the fresh init
+    # Donor running stats rode along too.
+    np.testing.assert_allclose(
+        np.asarray(saved["batch_stats"]["layer1_0"]["bn1"]["mean"]),
+        np.asarray(donor["batch_stats"]["layer1_0"]["bn1"]["mean"]),
+        atol=1e-6,
+    )
