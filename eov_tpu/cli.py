@@ -767,6 +767,16 @@ def cmd_test(args) -> int:
     )
     state = eov_train.create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
     if args.params:
+        if args.params.endswith((".pth", ".pt", ".npz")):
+            # A ported backbone has no finetuned fc head — scoring it with
+            # a random head is garbage, and orbax would crash on the file
+            # path anyway. test consumes TRAIN-run checkpoints.
+            raise SystemExit(
+                "eov test scores a finetuned checkpoint (orbax train-run "
+                "dir, e.g. --params <run>/ --select best); to finetune "
+                f"from {os.path.basename(args.params)} first, use "
+                "`eov train --params`"
+            )
         path = _resolve_ckpt_dir(
             args.params, getattr(args, "select", None) or "latest"
         )

@@ -130,3 +130,21 @@ def test_cli_train_params_warm_start(tmp_path, capsys):
         np.asarray(donor["batch_stats"]["layer1_0"]["bn1"]["mean"]),
         atol=1e-6,
     )
+
+
+def test_cli_test_refuses_raw_backbone_weights(tmp_path):
+    """`eov test --params x.npz` (a ported backbone, no finetuned head)
+    must refuse with guidance, not crash inside orbax / score a random
+    head."""
+    import pytest
+
+    from eov_tpu import cli
+
+    npz = tmp_path / "backbone.npz"
+    npz.write_bytes(b"")  # never opened: the refusal is by extension
+    with pytest.raises(SystemExit, match="finetuned checkpoint"):
+        cli.main([
+            "test", "--platform", "cpu", "--dataset", "synthetic",
+            "--synthetic-classes", "3", "--synthetic-clips", "1",
+            "--arch", "resnet18", "--params", str(npz),
+        ])
