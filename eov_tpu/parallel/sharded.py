@@ -199,6 +199,27 @@ def evaluate_sharded(table, cfg, mesh: Mesh, virtual=None):
 
     from eov_tpu.eval import EvalResult
 
+    # Same host-side guards as the single-chip evaluate(): inside jit the
+    # sampler cannot raise, and with < n_way eligible classes it would
+    # silently score invalid slots.
+    need = cfg.k_shot + cfg.n_query
+    n_eligible = int(np.sum(np.asarray(table.counts) >= need))
+    if n_eligible < cfg.n_way:
+        raise ValueError(
+            f"only {n_eligible} classes have >= {need} clips; "
+            f"n_way={cfg.n_way} episodes are not sampleable"
+        )
+    if cfg.matcher == "pallas":
+        import warnings
+
+        warnings.warn(
+            "matcher='pallas' is a single-chip bench path; the sharded "
+            "eval step always runs the XLA matcher (identical results — "
+            "the two are parity-tested)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
     dp = mesh.shape[DATA_AXIS]
     e_step = max(dp, cfg.episodes_per_step - cfg.episodes_per_step % dp)
     step = make_sharded_eval_step(

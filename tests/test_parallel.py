@@ -418,3 +418,37 @@ def test_canonical_episode_protocol_invariant_to_execution_config(devices8):
             table, dataclasses.replace(cfg, episodes_per_step=eps), mesh
         )
         np.testing.assert_array_equal(r.per_episode, ref.per_episode)
+
+
+def test_evaluate_sharded_eligibility_guard_and_matcher_warning():
+    """evaluate_sharded mirrors evaluate()'s host-side guards: too few
+    eligible classes refuses (inside jit the sampler would silently score
+    invalid slots), and an explicit matcher='pallas' warns that the
+    sharded step runs the XLA matcher."""
+    import dataclasses
+    import warnings
+
+    import pytest
+
+    from eov_tpu import eval as eov_eval
+    from eov_tpu.parallel.sharded import evaluate_sharded
+
+    mesh = make_mesh()
+    table = eov_eval.FeatureTable(
+        jnp.asarray(np.random.default_rng(0).standard_normal((6, 3, 16)),
+                    jnp.float32),
+        jnp.asarray([3, 3, 1, 0, 0, 0], jnp.int32),  # only 2 eligible @ k+q=2
+    )
+    cfg = eov_eval.EvalConfig(n_way=5, n_episodes=16, episodes_per_step=8)
+    with pytest.raises(ValueError, match="not sampleable"):
+        evaluate_sharded(table, cfg, mesh)
+
+    ok = eov_eval.FeatureTable(
+        jnp.asarray(np.random.default_rng(0).standard_normal((6, 3, 16)),
+                    jnp.float32),
+        jnp.full((6,), 3, jnp.int32),
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        evaluate_sharded(ok, dataclasses.replace(cfg, matcher="pallas"), mesh)
+    assert any("sharded" in str(x.message) for x in w)
