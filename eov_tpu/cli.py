@@ -206,9 +206,17 @@ def _load_params(args, dtype_str: str):
 
                 sd = torch.load(args.params, map_location="cpu",
                                 weights_only=True)
-            return port_resnet_state_dict(
-                sd, stage_sizes=stage_sizes, bottleneck=bottleneck
-            )
+            try:
+                return port_resnet_state_dict(
+                    sd, stage_sizes=stage_sizes, bottleneck=bottleneck
+                )
+            except (ValueError, KeyError) as e:
+                # Porter refusals (unconsumed donor keys = mismatched arch,
+                # or missing keys) are user errors: exit clean, no traceback.
+                raise SystemExit(
+                    f"--params {os.path.basename(args.params)} does not "
+                    f"port as arch {arch}: {e}"
+                ) from None
         from eov_tpu.utils.checkpoint import load_pytree
 
         path = _resolve_ckpt_dir(
@@ -663,6 +671,17 @@ def cmd_train(args) -> int:
             raise SystemExit(
                 f"--params is missing backbone modules {sorted(missing)[:4]}"
                 f"... for arch {cfg.arch} — wrong --arch or checkpoint?"
+            )
+        extra = set(ip) - set(state.params)
+        if extra:
+            # e.g. a resnet101 checkpoint with --arch resnet50: resnet50's
+            # modules are a subset, so 'missing' is empty — without this
+            # guard the stray blocks merge into state.params and only fail
+            # later as an opaque optax/fused-flatten tree mismatch.
+            raise SystemExit(
+                f"--params carries modules {sorted(extra)[:4]}... that "
+                f"arch {cfg.arch} does not have — wrong --arch or "
+                "checkpoint?"
             )
         state = eov_train.TrainState(
             step=state.step,

@@ -29,15 +29,20 @@ def _np(x) -> np.ndarray:
     return np.asarray(x)
 
 
-def _conv(sd, name):
+def _conv(sd, name, consumed=None):
+    if consumed is not None:
+        consumed.add(name)
     return _np(sd[name]).transpose(2, 3, 1, 0)  # OIHW -> HWIO
 
 
-def _bn(sd, prefix):
+def _bn(sd, prefix, consumed=None):
+    names = (f"{prefix}.weight", f"{prefix}.bias",
+             f"{prefix}.running_mean", f"{prefix}.running_var")
+    if consumed is not None:
+        consumed.update(names)
     return (
-        {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])},
-        {"mean": _np(sd[f"{prefix}.running_mean"]),
-         "var": _np(sd[f"{prefix}.running_var"])},
+        {"scale": _np(sd[names[0]]), "bias": _np(sd[names[1]])},
+        {"mean": _np(sd[names[2]]), "var": _np(sd[names[3]])},
     )
 
 
@@ -46,17 +51,26 @@ def port_resnet_state_dict(
     stage_sizes: Sequence[int] = (3, 4, 6, 3),
     bottleneck: bool = True,
     include_fc: bool = False,
+    strict: bool = True,
 ) -> dict:
     """torchvision ResNet state_dict -> flax variables {params, batch_stats}.
 
     Names map ``layer{i}.{j}.*`` -> ``layer{i}_{j}/*`` and
     ``downsample.0/.1`` -> ``downsample_conv``/``downsample_bn``.
+
+    strict=True refuses a state_dict with leftover parameter keys the target
+    arch never consumed — the walk is over the TARGET's structure, so a
+    bigger/mismatched donor (resnet34 weights ported as resnet18, resnet50
+    as resnet18, ...) would otherwise silently truncate to the blocks the
+    target happens to share. torch BN bookkeeping (``num_batches_tracked``)
+    and the fc head (fresh by default) are expected leftovers.
     """
     params: dict = {}
     stats: dict = {}
+    consumed: set = set()
 
-    params["conv1"] = {"kernel": _conv(state_dict, "conv1.weight")}
-    params["bn1"], stats["bn1"] = _bn(state_dict, "bn1")
+    params["conv1"] = {"kernel": _conv(state_dict, "conv1.weight", consumed)}
+    params["bn1"], stats["bn1"] = _bn(state_dict, "bn1", consumed)
 
     n_convs = 3 if bottleneck else 2
     for i, n_blocks in enumerate(stage_sizes):
@@ -66,14 +80,20 @@ def port_resnet_state_dict(
             blk_p: dict = {}
             blk_s: dict = {}
             for c in range(1, n_convs + 1):
-                blk_p[f"conv{c}"] = {"kernel": _conv(state_dict, f"{t}.conv{c}.weight")}
-                blk_p[f"bn{c}"], blk_s[f"bn{c}"] = _bn(state_dict, f"{t}.bn{c}")
+                blk_p[f"conv{c}"] = {
+                    "kernel": _conv(state_dict, f"{t}.conv{c}.weight", consumed)
+                }
+                blk_p[f"bn{c}"], blk_s[f"bn{c}"] = _bn(
+                    state_dict, f"{t}.bn{c}", consumed
+                )
             if f"{t}.downsample.0.weight" in state_dict:
                 blk_p["downsample_conv"] = {
-                    "kernel": _conv(state_dict, f"{t}.downsample.0.weight")
+                    "kernel": _conv(
+                        state_dict, f"{t}.downsample.0.weight", consumed
+                    )
                 }
                 blk_p["downsample_bn"], blk_s["downsample_bn"] = _bn(
-                    state_dict, f"{t}.downsample.1"
+                    state_dict, f"{t}.downsample.1", consumed
                 )
             params[f] = blk_p
             stats[f] = blk_s
@@ -83,6 +103,22 @@ def port_resnet_state_dict(
             "kernel": _np(state_dict["fc.weight"]).T,
             "bias": _np(state_dict["fc.bias"]),
         }
+
+    if strict:
+        leftover = sorted(
+            k for k in state_dict
+            if k not in consumed
+            and not k.endswith("num_batches_tracked")
+            and k not in ("fc.weight", "fc.bias")
+        )
+        if leftover:
+            raise ValueError(
+                f"state_dict has {len(leftover)} unconsumed parameter keys "
+                f"for this arch (stage_sizes={tuple(stage_sizes)}, "
+                f"bottleneck={bottleneck}), e.g. {leftover[:4]} — donor "
+                "checkpoint from a different resnet? (strict=False ports "
+                "the shared prefix anyway)"
+            )
 
     return {"params": params, "batch_stats": stats}
 

@@ -132,6 +132,63 @@ def test_cli_train_params_warm_start(tmp_path, capsys):
     )
 
 
+def test_port_refuses_mismatched_donor(tmp_path):
+    """Porting a BIGGER donor through a smaller target arch must refuse:
+    the porter walks the TARGET's structure, so a resnet34 state_dict
+    ported as resnet18 would otherwise silently truncate to the blocks the
+    two archs share — a wrong-weights warm start with no symptom until
+    accuracy disappoints."""
+    import pytest
+
+    from eov_tpu.models import get_arch
+    from eov_tpu.tools.port_torch import (export_resnet_state_dict,
+                                          port_resnet_state_dict)
+
+    ctor, sizes, bottleneck = get_arch("resnet34")
+    donor = ctor(dtype=jnp.float32).init(
+        jax.random.PRNGKey(7), jnp.zeros((1, 32, 32, 3))
+    )
+    sd = export_resnet_state_dict(donor, stage_sizes=sizes,
+                                  bottleneck=bottleneck)
+    with pytest.raises(ValueError, match="unconsumed"):
+        port_resnet_state_dict(sd, stage_sizes=(2, 2, 2, 2),
+                               bottleneck=False)
+    # strict=False keeps the shared-prefix port available deliberately.
+    out = port_resnet_state_dict(sd, stage_sizes=(2, 2, 2, 2),
+                                 bottleneck=False, strict=False)
+    assert "layer1_1" in out["params"] and "layer1_2" not in out["params"]
+
+
+def test_cli_train_params_refuses_stray_modules(tmp_path):
+    """Warm-starting from an orbax checkpoint of a DIFFERENT arch whose
+    modules are a superset (resnet34 run, --arch resnet18) must refuse up
+    front — without the guard 'missing' is empty, the stray blocks merge
+    into state.params, and the run dies one step later as an opaque optax
+    tree mismatch."""
+    import pytest
+
+    from eov_tpu import cli
+    from eov_tpu.models import get_arch
+    from eov_tpu.utils.checkpoint import save_pytree
+
+    ctor = get_arch("resnet34")[0]
+    donor = ctor(num_classes=3, dtype=jnp.float32).init(
+        jax.random.PRNGKey(7), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    ck = tmp_path / "run34" / "step_0"
+    save_pytree(str(ck), {"params": donor["params"],
+                          "batch_stats": donor["batch_stats"]})
+    with pytest.raises(SystemExit, match="does not have"):
+        cli.main([
+            "train", "--platform", "cpu", "--dataset", "synthetic",
+            "--synthetic-classes", "3", "--synthetic-clips", "2",
+            "--arch", "resnet18", "--batch", "4", "--num-segments", "2",
+            "--scale-size", "36", "--crop-size", "32",
+            "--epochs", "1", "--params", str(tmp_path / "run34"),
+            "--out", str(tmp_path / "out18"),
+        ])
+
+
 def test_cli_test_refuses_raw_backbone_weights(tmp_path):
     """`eov test --params x.npz` (a ported backbone, no finetuned head)
     must refuse with guidance, not crash inside orbax / score a random
