@@ -189,6 +189,53 @@ def test_cli_train_params_refuses_stray_modules(tmp_path):
         ])
 
 
+def test_cli_train_resume_overrides_warm_start(tmp_path, capsys):
+    """cli.py documents that a resume checkpoint under --out takes
+    precedence over --params warm-start (the run's own trajectory beats a
+    re-supplied donor on restart — a pod rerun of the same command line
+    must continue, not restart from the donor). Proven by lineage: the
+    resumed epoch's params descend from run A's fresh init, not the
+    donor."""
+    from eov_tpu import cli
+    from eov_tpu.models import get_arch
+    from eov_tpu.tools.port_torch import export_resnet_state_dict
+    from eov_tpu.utils.checkpoint import load_pytree
+
+    ctor, sizes, bottleneck = get_arch("resnet18")
+    donor = ctor(dtype=jnp.float32).init(
+        jax.random.PRNGKey(123), jnp.zeros((1, 32, 32, 3))
+    )
+    npz = str(tmp_path / "donor.npz")
+    np.savez(npz, **export_resnet_state_dict(
+        donor, stage_sizes=sizes, bottleneck=bottleneck
+    ))
+    common = [
+        "train", "--platform", "cpu", "--dataset", "synthetic",
+        "--synthetic-classes", "3", "--synthetic-clips", "2",
+        "--arch", "resnet18", "--batch", "4", "--num-segments", "2",
+        "--scale-size", "36", "--crop-size", "32",
+        "--lr", "1e-6",  # tiny: params stay near their origin
+        "--out", str(tmp_path / "run"),
+    ]
+    # Run A: no --params — epoch 0 descends from the fresh init (seed 0).
+    assert cli.main(common + ["--epochs", "1"]) == 0
+    # Run B: donor warm-start requested, but step_0 exists — must resume.
+    assert cli.main(common + ["--epochs", "2", "--params", npz]) == 0
+    assert "resumed from" in capsys.readouterr().out
+
+    saved = np.asarray(load_pytree(
+        str(tmp_path / "run" / "step_1")
+    )["params"]["conv1"]["kernel"])
+    fresh = np.asarray(ctor(num_classes=3, dtype=jnp.float32).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+    )["params"]["conv1"]["kernel"])
+    donor_k = np.asarray(donor["params"]["conv1"]["kernel"])
+    d_fresh = float(np.abs(saved - fresh).max())
+    d_donor = float(np.abs(saved - donor_k).max())
+    assert d_fresh < 1e-3, d_fresh            # continued run A's lineage
+    assert d_donor > 10 * max(d_fresh, 1e-9)  # donor did NOT replace it
+
+
 def test_cli_test_refuses_raw_backbone_weights(tmp_path):
     """`eov test --params x.npz` (a ported backbone, no finetuned head)
     must refuse with guidance, not crash inside orbax / score a random
