@@ -683,6 +683,32 @@ def cmd_train(args) -> int:
                 f"arch {cfg.arch} does not have — wrong --arch or "
                 "checkpoint?"
             )
+
+        def _leaf_shapes(tree):
+            return {
+                jax.tree_util.keystr(p): tuple(np.shape(v))
+                for p, v in jax.tree_util.tree_leaves_with_path(tree)
+            }
+
+        # Module-name sets are necessary but not sufficient: resnet34 and
+        # resnet50 share stage_sizes (3,4,6,3), so their top-level keys are
+        # IDENTICAL — only the leaves differ (basic conv1/conv2 vs
+        # bottleneck conv1..3/downsample, and the widths). Compare leaf
+        # paths + shapes over the donor's modules.
+        got = _leaf_shapes(ip)
+        want = _leaf_shapes({k: state.params[k] for k in ip})
+        bad = [k for k in sorted(set(got) | set(want))
+               if got.get(k) != want.get(k)]
+        if bad:
+            raise SystemExit(
+                f"--params does not match arch {cfg.arch}: "
+                f"{len(bad)} leaves differ in presence or shape, e.g. "
+                + ", ".join(
+                    f"{k} {got.get(k, 'absent')} vs {want.get(k, 'absent')}"
+                    for k in bad[:3]
+                )
+                + " — wrong --arch or checkpoint?"
+            )
         state = eov_train.TrainState(
             step=state.step,
             params={**state.params, **ip},

@@ -292,10 +292,11 @@ class VideoFileDataset:
     ) -> np.ndarray:
         """Pooled threaded decode [B, K, H, W, 3] (VERDICT r3 #2).
 
-        cv2's decode releases the GIL, so one ``VideoCapture`` per worker
-        thread parallelizes the per-record sequential-grab reads across
-        host cores (``EOV_VIDEODIR_THREADS`` overrides the pool size;
-        default = os.cpu_count). Decodes are per-record independent, so
+        cv2's decode releases the GIL, so worker threads parallelize the
+        per-record sequential-grab reads across host cores — each record
+        is its own file, so every ``get_frames`` call opens (and releases)
+        its own ``VideoCapture`` (``EOV_VIDEODIR_THREADS`` overrides the
+        pool size; default = os.cpu_count). Decodes are per-record independent, so
         the result is exactly ``stack([get_frames(r, i) ...])`` — the
         parity test is tests/test_video_files.py. Mixed-resolution roots
         raise (the caller's per-record fallback handles those); with

@@ -131,4 +131,15 @@ def align_virtual_bank(
             "silently equal plain eval; check both stores carry real "
             "class names"
         )
+    if not np.any(out_c):
+        # The other route to the same silent outcome: names align but every
+        # aligned class contributes 0 virtual clips (an empty/filtered-out
+        # virtual extraction). The eval mask would zero every virtual
+        # member and the run would report plain numbers under the embodied
+        # label.
+        raise ValueError(
+            "virtual bank aligns by name but contributes 0 clips for every "
+            "real class — embodied eval would silently equal plain eval; "
+            "the virtual store appears empty for these classes"
+        )
     return FeatureTable(jnp.asarray(out_f), jnp.asarray(out_c))

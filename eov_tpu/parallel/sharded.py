@@ -202,6 +202,18 @@ def evaluate_sharded(table, cfg, mesh: Mesh, virtual=None):
     # Same host-side guards as the single-chip evaluate(): inside jit the
     # sampler cannot raise, and with < n_way eligible classes it would
     # silently score invalid slots.
+    if cfg.embodied and virtual is None:
+        raise ValueError("embodied eval requires a virtual FeatureTable")
+    if cfg.embodied and virtual is not None:
+        d_real = table.features.shape[-1]
+        d_virt = virtual.features.shape[-1]
+        if d_real != d_virt:
+            # Without this the mismatch surfaces as an opaque XLA shape
+            # error at trace time inside shard_map.
+            raise ValueError(
+                f"real ({d_real}-d) and virtual ({d_virt}-d) features were "
+                "extracted with different backbones; re-extract one side"
+            )
     need = cfg.k_shot + cfg.n_query
     n_eligible = int(np.sum(np.asarray(table.counts) >= need))
     if n_eligible < cfg.n_way:

@@ -78,15 +78,20 @@ def pack(dataset, out_path: str, *, storage_short_side: int | None = 256,
     # fusion aligns virtual banks by class NAME — numeric fallback names
     # would refuse with 'no virtual clips for classes').
     names = list(getattr(dataset, "class_names", []) or [])
+    sidecar = (
+        os.path.join(out_path, "classes.json") if clips_per_shard
+        else out_path + ".classes.json"
+    )
     if names:
         import json
 
-        sidecar = (
-            os.path.join(out_path, "classes.json") if clips_per_shard
-            else out_path + ".classes.json"
-        )
         with open(sidecar, "w") as f:
             json.dump({"class_names": names}, f)
+    elif os.path.exists(sidecar):
+        # Re-packing a path whose previous pack left a sidecar: a stale
+        # name list would be auto-loaded against the NEW labels (silently,
+        # whenever it is at least as long as the new class count).
+        os.remove(sidecar)
 
     wr, shard_i, in_shard = None, 0, 0
     for rec in dataset.records:

@@ -168,6 +168,23 @@ def make_train_step(
     state replicated; XLA turns the loss/grad/BN-stat reductions into ICI
     collectives. Segment consensus is mean over segment *logits* (TSN rule).
     """
+    # Tri-state lever flags: reject unknown spellings up front. 'auto'
+    # resolves to the measured defaults; anything else ("1", "true", "ON")
+    # would silently mean OFF below — a lever bench would then record
+    # baseline numbers under the lever's label.
+    for _f in ("fused_stage1", "fused_stage2", "stem_s2d", "pool_vjp"):
+        _v = getattr(cfg, _f)
+        if _v not in ("auto", "on", "off"):
+            raise ValueError(
+                f"{_f}={_v!r}: use 'auto', 'on', or 'off'"
+            )
+    if cfg.augment not in ("multiscale", "randomcrop"):
+        # Same silent-fallback class: the else-branch below would quietly
+        # run the plain random crop under a misspelled label.
+        raise ValueError(
+            f"augment={cfg.augment!r}: use 'multiscale' or 'randomcrop'"
+        )
+
     model = _model(cfg)
     tx = _make_tx(cfg)
 

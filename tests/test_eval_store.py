@@ -320,6 +320,20 @@ def test_align_virtual_bank_total_mismatch_refuses():
         align_virtual_bank([], ["HighJump"], vt)
 
 
+def test_align_virtual_bank_all_zero_counts_refuses():
+    """The other route to silently-plain embodied eval: every name aligns
+    but every aligned class contributes 0 virtual clips (an empty or
+    filtered-out virtual extraction). The eval mask would zero every
+    virtual member — refuse instead of reporting plain numbers under the
+    embodied label."""
+    vt = eov_eval.FeatureTable(
+        jnp.ones((2, 3, 4)), jnp.zeros((2,), jnp.int32)
+    )
+    with pytest.raises(ValueError, match="0 clips for every"):
+        align_virtual_bank(["HighJump", "PushUps"],
+                           ["HighJump", "PushUps"], vt)
+
+
 def test_extract_mixed_resolution_dataset(tmp_path):
     """Raw framedir datasets have per-video resolutions; extraction must
     group by shape (one device batch per resolution), not crash on stack."""

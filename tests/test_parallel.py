@@ -452,3 +452,35 @@ def test_evaluate_sharded_eligibility_guard_and_matcher_warning():
         warnings.simplefilter("always")
         evaluate_sharded(ok, dataclasses.replace(cfg, matcher="pallas"), mesh)
     assert any("sharded" in str(x.message) for x in w)
+
+
+def test_evaluate_sharded_embodied_guards():
+    """evaluate_sharded mirrors evaluate()'s embodied guards too: a
+    real/virtual feature-dim mismatch (stores extracted with different
+    backbones) refuses with the friendly message instead of an opaque XLA
+    shape error at trace time inside shard_map, and embodied without a
+    virtual table refuses up front."""
+    import pytest
+
+    from eov_tpu import eval as eov_eval
+    from eov_tpu.parallel.sharded import evaluate_sharded
+
+    mesh = make_mesh()
+    table = eov_eval.FeatureTable(
+        jnp.ones((6, 3, 64), jnp.float32), jnp.full((6,), 3, jnp.int32)
+    )
+    virt32 = eov_eval.FeatureTable(
+        jnp.ones((6, 2, 32), jnp.float32), jnp.full((6,), 2, jnp.int32)
+    )
+    cfg = eov_eval.EvalConfig(n_way=4, n_episodes=16, episodes_per_step=8,
+                              embodied=True)
+    with pytest.raises(ValueError, match="different backbones"):
+        evaluate_sharded(table, cfg, mesh, virtual=virt32)
+    with pytest.raises(ValueError, match="requires a virtual"):
+        evaluate_sharded(table, cfg, mesh)
+    # Matching dims pass the guard and run.
+    virt64 = eov_eval.FeatureTable(
+        jnp.ones((6, 2, 64), jnp.float32), jnp.full((6,), 2, jnp.int32)
+    )
+    res = evaluate_sharded(table, cfg, mesh, virtual=virt64)
+    assert len(res.per_episode) == 16

@@ -295,3 +295,29 @@ def test_pack_class_name_sidecar(tmp_path):
     # (wrong/stale sidecar or split for these shards).
     with pytest.raises(ValueError, match="shorter than"):
         EovcVideoDataset(p, class_names=["only_one"])
+
+
+def test_repack_without_names_removes_stale_sidecar(tmp_path):
+    """Re-packing a path from a dataset WITHOUT class names must remove the
+    previous pack's sidecar — a stale name list auto-loads against the new
+    labels and flows silently into embodied alignment whenever it is at
+    least as long as the new class count."""
+    import os
+
+    ds = SyntheticVideoDataset(n_classes=3, clips_per_class=1, seed=0,
+                               height=40, width=48)
+
+    class NoNames:
+        records = ds.records
+        class_names = []
+
+        def get_frames(self, rec, idx):
+            return ds.get_frames(rec, idx)
+
+    p = str(tmp_path / "one.eovc")
+    pack(ds, p, storage_short_side=36, codec="raw")
+    assert os.path.exists(p + ".classes.json")
+    pack(NoNames(), p, storage_short_side=36, codec="raw")
+    assert not os.path.exists(p + ".classes.json")
+    # And the dataset now reports numeric fallback names, not stale ones.
+    assert EovcVideoDataset(p).class_names[0] not in ds.class_names

@@ -189,6 +189,52 @@ def test_cli_train_params_refuses_stray_modules(tmp_path):
         ])
 
 
+def test_train_flags_reject_unknown_spellings():
+    """Tri-state lever flags and the augment selector must refuse unknown
+    values: EOV_TRAIN_S2D=1 (or 'true'/'ON') would otherwise silently
+    resolve to OFF and a lever bench would record baseline numbers under
+    the lever's label; a misspelled augment would silently run the plain
+    random crop."""
+    import pytest
+
+    for field, val in [("stem_s2d", "1"), ("pool_vjp", "true"),
+                       ("fused_stage1", "ON"), ("fused_stage2", "yes")]:
+        with pytest.raises(ValueError, match=field):
+            tr.make_train_step(_tiny_cfg(**{field: val}))
+    with pytest.raises(ValueError, match="augment"):
+        tr.make_train_step(_tiny_cfg(augment="mutliscale"))
+
+
+def test_cli_train_params_refuses_same_shape_arch_mismatch(tmp_path):
+    """resnet34 and resnet50 share stage_sizes (3,4,6,3), so their
+    top-level param keys are IDENTICAL — the module-name guard passes and
+    only the leaf structure/shapes differ (basic conv1/conv2 vs bottleneck
+    conv1..3). Warm-starting a resnet34 orbax run as --arch resnet50 must
+    refuse up front, not die one step later in optax/fused-flatten."""
+    import pytest
+
+    from eov_tpu import cli
+    from eov_tpu.models import get_arch
+    from eov_tpu.utils.checkpoint import save_pytree
+
+    ctor = get_arch("resnet34")[0]
+    donor = ctor(num_classes=3, dtype=jnp.float32).init(
+        jax.random.PRNGKey(7), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    ck = tmp_path / "run34" / "step_0"
+    save_pytree(str(ck), {"params": donor["params"],
+                          "batch_stats": donor["batch_stats"]})
+    with pytest.raises(SystemExit, match="leaves differ"):
+        cli.main([
+            "train", "--platform", "cpu", "--dataset", "synthetic",
+            "--synthetic-classes", "3", "--synthetic-clips", "2",
+            "--arch", "resnet50", "--batch", "4", "--num-segments", "2",
+            "--scale-size", "36", "--crop-size", "32",
+            "--epochs", "1", "--params", str(tmp_path / "run34"),
+            "--out", str(tmp_path / "out50"),
+        ])
+
+
 def test_cli_train_resume_overrides_warm_start(tmp_path, capsys):
     """cli.py documents that a resume checkpoint under --out takes
     precedence over --params warm-start (the run's own trajectory beats a
