@@ -1,0 +1,280 @@
+"""Import a reference-era feature cache into an eov_tpu FeatureStore.
+
+Capability parity: SURVEY.md §2a C6's cache half, migration side. The
+reference pipeline saves extracted clip features as per-video ``.npy``
+files or one pickled/``.npz`` dict ``[CANON]``; a user switching to this
+framework already owns such a cache and should not have to re-run
+extraction to use `eov eval/classify` on it. This tool converts any of the
+canonical layouts into the sharded manifest store every eov subcommand
+consumes (``--store``):
+
+  1. class-directory tree:   src/ClassName/video_id.npy
+     → label = index of ClassName (sorted dir order, or --classes order)
+  2. flat .npy directory:    src/video_id.npy  + --split list.txt
+     → label from the TSN split line whose path basename matches video_id
+  3. one dict file (.npz, or .pkl/.pickle via --allow-pickle):
+     {video_id: feature[D]} + --split, or {class_name: [feat…]/[N,D]}
+     (keys that are class names when every value is 2-D / a list)
+
+Every route validates feature dims agree and refuses ambiguity (mixed
+layouts, unmatched split ids, non-1-D per-video features) with a message
+naming the fix — the store must never silently hold wrong labels, because
+episode accuracy would still *run* on them.
+
+Run: python -m eov_tpu.tools.import_features --src CACHE --store OUT
+         [--split list.txt] [--classes classes.txt] [--store-dtype float16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Mapping, Sequence
+
+import numpy as np
+
+__all__ = ["import_cache", "main"]
+
+_FLUSH_EVERY = 1024  # clips per shard — matches pack_eovc's scale choices
+
+
+def _basename_id(path: str) -> str:
+    """Video id of a split-line path or a feature filename (no ext/dirs)."""
+    b = os.path.basename(path.rstrip("/"))
+    return b[:-4] if b.endswith(".npy") else b
+
+
+def _split_label_map(split_path: str) -> dict[str, int]:
+    from eov_tpu.data.datasets import load_split_txt
+
+    out: dict[str, int] = {}
+    for p, _n, label in load_split_txt(split_path):
+        vid = _basename_id(p)
+        if vid in out and out[vid] != label:
+            raise ValueError(
+                f"split file maps video id {vid!r} to two labels "
+                f"({out[vid]} and {label}); ids must be unique after "
+                "basename normalization"
+            )
+        out[vid] = label
+    return out
+
+
+def _check_feature(vid: str, feat: np.ndarray, dim: int | None) -> int:
+    feat = np.asarray(feat)
+    if feat.ndim != 1:
+        raise ValueError(
+            f"feature for {vid!r} has shape {feat.shape}; per-video clip "
+            "features must be 1-D (TSN consensus already applied). A "
+            "[K, D] per-segment array should be mean-pooled first."
+        )
+    if dim is not None and feat.shape[0] != dim:
+        raise ValueError(
+            f"feature dim mismatch: {vid!r} is {feat.shape[0]}-d but "
+            f"earlier features are {dim}-d — mixed caches cannot share "
+            "a store"
+        )
+    if not np.all(np.isfinite(feat)):
+        raise ValueError(f"feature for {vid!r} contains NaN/Inf")
+    return int(feat.shape[0])
+
+
+def _iter_class_tree(src: str):
+    """Route 1: (class_name, video_id, npy_path) over src/Class/vid.npy."""
+    classes = sorted(
+        d for d in os.listdir(src) if os.path.isdir(os.path.join(src, d))
+    )
+    for cname in classes:
+        for fn in sorted(os.listdir(os.path.join(src, cname))):
+            if fn.endswith(".npy"):
+                yield cname, _basename_id(fn), os.path.join(src, cname, fn)
+
+
+def _load_dict(src: str, allow_pickle: bool) -> Mapping[str, np.ndarray]:
+    if src.endswith(".npz"):
+        with np.load(src, allow_pickle=False) as z:
+            return {k: np.asarray(z[k]) for k in z.files}
+    if src.endswith((".pkl", ".pickle")):
+        if not allow_pickle:
+            raise ValueError(
+                "pickle caches execute arbitrary code on load; pass "
+                "--allow-pickle only for files you trust"
+            )
+        import pickle
+
+        with open(src, "rb") as f:
+            d = pickle.load(f)
+        if not isinstance(d, Mapping):
+            raise ValueError(
+                f"pickle cache must hold a dict, got {type(d).__name__}"
+            )
+        return d
+    raise ValueError(
+        f"unrecognized cache file {src!r}: expected .npz, .pkl, or a "
+        "directory"
+    )
+
+
+def import_cache(
+    src: str,
+    store_root: str,
+    *,
+    split: str | None = None,
+    class_names: Sequence[str] | None = None,
+    store_dtype: str | None = None,
+    allow_pickle: bool = False,
+) -> dict:
+    """Convert a reference-era cache at ``src`` into a FeatureStore.
+
+    Returns the written store's summary() dict. Refuses (ValueError) on
+    any ambiguity rather than guessing — see module docstring.
+    """
+    from eov_tpu.data.store import FeatureStore
+
+    if os.path.exists(os.path.join(store_root, "manifest.json")):
+        raise ValueError(
+            f"store {store_root!r} already exists; import into a fresh "
+            "directory (appending imported features to an extracted store "
+            "would mix feature provenances silently)"
+        )
+
+    # Collect (vid, feature, class_name_or_label) by layout.
+    items: list[tuple[str, np.ndarray, object]] = []
+    if os.path.isdir(src):
+        tree = list(_iter_class_tree(src))
+        flat = sorted(
+            fn for fn in os.listdir(src)
+            if fn.endswith(".npy") and os.path.isfile(os.path.join(src, fn))
+        )
+        if tree and flat:
+            raise ValueError(
+                f"{src!r} mixes class subdirectories and top-level .npy "
+                "files; import each layout from its own root"
+            )
+        if tree:
+            for cname, vid, path in tree:
+                items.append((vid, np.load(path), cname))
+        elif flat:
+            if not split:
+                raise ValueError(
+                    "flat .npy directory carries no labels; pass --split "
+                    "list.txt (TSN `<path> <frames> <label>` lines) to map "
+                    "video ids to labels"
+                )
+            for fn in flat:
+                vid = _basename_id(fn)
+                items.append((vid, np.load(os.path.join(src, fn)), None))
+        else:
+            raise ValueError(f"no .npy features found under {src!r}")
+    else:
+        d = _load_dict(src, allow_pickle)
+        if not d:
+            raise ValueError(f"cache {src!r} is empty")
+        vals = list(d.values())
+        # --split signals a video-id-keyed dict; without it, uniformly 2-D
+        # (or list-of-rows) values mean class-keyed. A vid-keyed dict of
+        # [K, D] per-segment arrays WITHOUT --split would otherwise be
+        # misread as class-keyed, turning video ids into class names.
+        class_keyed = split is None and all(
+            (isinstance(v, (list, tuple)) and v) or
+            (isinstance(v, np.ndarray) and v.ndim == 2)
+            for v in vals
+        )
+        if class_keyed:
+            # {class_name: [feat…] | [N, D]} — keys are class names.
+            for cname in d:
+                rows = d[cname]
+                rows = rows if isinstance(rows, np.ndarray) else list(rows)
+                for i, feat in enumerate(rows):
+                    items.append((f"{cname}/{i:05d}", np.asarray(feat), cname))
+        else:
+            if not split:
+                raise ValueError(
+                    "dict cache keyed by video id carries no labels; pass "
+                    "--split list.txt, or key the dict by class name with "
+                    "[N, D] arrays per class"
+                )
+            for vid in d:
+                items.append((str(vid), np.asarray(d[vid]), None))
+
+    # Resolve labels.
+    tree_classes = sorted({c for _, _, c in items if c is not None})
+    if tree_classes:
+        names = list(class_names) if class_names else tree_classes
+        missing = [c for c in tree_classes if c not in names]
+        if missing:
+            raise ValueError(
+                f"--classes list is missing cache classes {missing[:4]} "
+                f"(+{max(0, len(missing) - 4)} more)"
+            )
+        label_of = {c: names.index(c) for c in tree_classes}
+        resolved = [(vid, feat, label_of[c]) for vid, feat, c in items]
+    else:
+        labels = _split_label_map(split)  # split presence checked above
+        unmatched = [vid for vid, _, _ in items if vid not in labels]
+        if unmatched:
+            raise ValueError(
+                f"{len(unmatched)} cache video ids not in the split file, "
+                f"e.g. {unmatched[:4]} — ids are matched by basename "
+                "without extension"
+            )
+        names = list(class_names) if class_names else []
+        resolved = [(vid, feat, labels[vid]) for vid, feat, _ in items]
+        max_label = max(l for _, _, l in resolved)
+        if names and len(names) <= max_label:
+            raise ValueError(
+                f"--classes lists {len(names)} names but the split uses "
+                f"label {max_label}"
+            )
+        if not names:
+            names = [f"class_{i:03d}" for i in range(max_label + 1)]
+
+    dim: int | None = None
+    store = FeatureStore(store_root, class_names=names, process_index=0,
+                         dtype=store_dtype)
+    for n_done, (vid, feat, label) in enumerate(resolved, 1):
+        dim = _check_feature(vid, feat, dim)
+        store.put(vid, np.asarray(feat, np.float32), label)
+        if n_done % _FLUSH_EVERY == 0:
+            store.flush()
+    store.flush()
+    return store.summary()
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser("import_features", description=__doc__)
+    ap.add_argument("--src", required=True,
+                    help="cache: class-tree dir, flat .npy dir, .npz, .pkl")
+    ap.add_argument("--store", required=True, help="output store (fresh dir)")
+    ap.add_argument("--split", default=None,
+                    help="TSN split txt mapping video ids to labels "
+                         "(required for flat/video-id-keyed caches)")
+    ap.add_argument("--classes", default=None,
+                    help="class-names txt (one per line) fixing label order")
+    ap.add_argument("--store-dtype", default=None,
+                    choices=("float32", "float16"))
+    ap.add_argument("--allow-pickle", action="store_true",
+                    help="permit .pkl caches (arbitrary code execution on "
+                         "load — trusted files only)")
+    args = ap.parse_args(argv)
+    names = None
+    if args.classes:
+        from eov_tpu.data.class_splits import load_class_list
+
+        names = load_class_list(args.classes)
+    try:
+        summary = import_cache(
+            args.src, args.store, split=args.split, class_names=names,
+            store_dtype=args.store_dtype, allow_pickle=args.allow_pickle,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
