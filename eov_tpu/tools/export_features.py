@@ -60,11 +60,25 @@ def export_store(store_root: str, out: str, *, fmt: str = "tree") -> dict:
                 "directory (mixing exports corrupts the class tree the "
                 "importer reads back)"
             )
+        # '/' in a video id would escape its class directory, so it is
+        # mangled to '_' — but that can collide distinct ids ('a/b' vs
+        # 'a_b') onto one .npy path, silently dropping a clip from the
+        # advertised bit-exact round trip. Refuse instead (mirrors the
+        # importer's refuse-ambiguity policy).
+        written: dict[str, str] = {}
+        for vid in sorted(data):
+            fname = os.path.join(names[data[vid][1]], vid.replace("/", "_"))
+            if fname in written:
+                raise ValueError(
+                    f"video ids {written[fname]!r} and {vid!r} both map to "
+                    f"{fname + '.npy'!r} after '/'→'_' mangling; rename one "
+                    "so the exported tree keeps every clip"
+                )
+            written[fname] = vid
         for vid in sorted(data):
             feat, label = data[vid]
             d = os.path.join(out, names[label])
             os.makedirs(d, exist_ok=True)
-            # '/' in a video id would escape its class directory.
             np.save(os.path.join(d, vid.replace("/", "_") + ".npy"),
                     feat.astype(np.float32, copy=False))
     else:

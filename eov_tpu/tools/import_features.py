@@ -12,9 +12,11 @@ consumes (``--store``):
      → label = index of ClassName (sorted dir order, or --classes order)
   2. flat .npy directory:    src/video_id.npy  + --split list.txt
      → label from the TSN split line whose path basename matches video_id
-  3. one dict file (.npz, or .pkl/.pickle via --allow-pickle):
-     {video_id: feature[D]} + --split, or {class_name: [feat…]/[N,D]}
-     (keys that are class names when every value is 2-D / a list)
+  3. one dict file (.npz; torch-saved .pt/.pth — safe weights_only load
+     first, full unpickle gated behind --allow-pickle; .pkl/.pickle via
+     --allow-pickle): {video_id: feature[D]} + --split, or
+     {class_name: [feat…]/[N,D]} (keys are class names when every value
+     is 2-D / a list)
 
 Every route validates feature dims agree and refuses ambiguity (mixed
 layouts, unmatched split ids, non-1-D per-video features) with a message
@@ -40,10 +42,20 @@ __all__ = ["import_cache", "main"]
 _FLUSH_EVERY = 1024  # clips per shard — matches pack_eovc's scale choices
 
 
+# Extensions stripped when normalizing a split-line path or feature
+# filename to a video id. Real TSN split lists reference source videos
+# ('Class/v_x.avi'), while the cache holds '.npy' per clip — both must
+# normalize to the same id or no flat-dir cache would ever match its split.
+_ID_EXTS = frozenset(
+    {".npy", ".pt", ".pth", ".avi", ".mp4", ".mkv", ".mov", ".webm", ".mpg"}
+)
+
+
 def _basename_id(path: str) -> str:
     """Video id of a split-line path or a feature filename (no ext/dirs)."""
     b = os.path.basename(path.rstrip("/"))
-    return b[:-4] if b.endswith(".npy") else b
+    stem, ext = os.path.splitext(b)
+    return stem if ext.lower() in _ID_EXTS else b
 
 
 def _split_label_map(split_path: str) -> dict[str, int]:
@@ -92,10 +104,56 @@ def _iter_class_tree(src: str):
                 yield cname, _basename_id(fn), os.path.join(src, cname, fn)
 
 
+def _to_numpy(v):
+    """Normalize a cache value (torch tensor / array / list of either)."""
+    if isinstance(v, (list, tuple)):
+        return type(v)(_to_numpy(x) for x in v)
+    if hasattr(v, "detach") and hasattr(v, "numpy"):  # torch.Tensor
+        return v.detach().cpu().numpy()
+    return v
+
+
+def _load_torch_dict(src: str, allow_pickle: bool) -> Mapping:
+    """Load a ``torch.save``'d feature dict — the reference lineage's most
+    common cache artifact (a PyTorch repo saving {video_id: tensor}).
+
+    ``weights_only=True`` (torch's restricted unpickler: tensors and
+    containers only, no arbitrary code) is tried first and needs no trust
+    flag; caches whose payload the restricted unpickler rejects fall back
+    to a full unpickle, which is gated behind --allow-pickle exactly like
+    ``.pkl`` files.
+    """
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover - torch is baked in here
+        raise ValueError(
+            f"loading {src!r} requires torch, which is not importable: {e}"
+        )
+    try:
+        d = torch.load(src, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise ValueError(
+                f"{src!r} is not loadable with torch's safe restricted "
+                "unpickler (weights_only=True); a full torch.load executes "
+                "arbitrary code — pass --allow-pickle only for files you "
+                "trust"
+            )
+        d = torch.load(src, map_location="cpu", weights_only=False)
+    if not isinstance(d, Mapping):
+        raise ValueError(
+            f"torch cache must hold a dict keyed by video id or class "
+            f"name, got {type(d).__name__}"
+        )
+    return {str(k): _to_numpy(v) for k, v in d.items()}
+
+
 def _load_dict(src: str, allow_pickle: bool) -> Mapping[str, np.ndarray]:
     if src.endswith(".npz"):
         with np.load(src, allow_pickle=False) as z:
             return {k: np.asarray(z[k]) for k in z.files}
+    if src.endswith((".pt", ".pth")):
+        return _load_torch_dict(src, allow_pickle)
     if src.endswith((".pkl", ".pickle")):
         if not allow_pickle:
             raise ValueError(
@@ -110,10 +168,10 @@ def _load_dict(src: str, allow_pickle: bool) -> Mapping[str, np.ndarray]:
             raise ValueError(
                 f"pickle cache must hold a dict, got {type(d).__name__}"
             )
-        return d
+        return {k: _to_numpy(v) for k, v in d.items()}
     raise ValueError(
-        f"unrecognized cache file {src!r}: expected .npz, .pkl, or a "
-        "directory"
+        f"unrecognized cache file {src!r}: expected .npz, .pt/.pth, .pkl, "
+        "or a directory"
     )
 
 
@@ -231,11 +289,33 @@ def import_cache(
         if not names:
             names = [f"class_{i:03d}" for i in range(max_label + 1)]
 
+    # A duplicate video id (same basename under two class dirs, or a split
+    # id colliding after extension stripping) would last-wins overwrite in
+    # the store — one clip silently imported with the other's label.
+    seen: dict[str, int] = {}
+    dupes: list[str] = []
+    for vid, _, _ in resolved:
+        if vid in seen:
+            dupes.append(vid)
+        seen[vid] = seen.get(vid, 0) + 1
+    if dupes:
+        uniq = sorted(set(dupes))
+        raise ValueError(
+            f"{len(uniq)} video ids appear more than once in the cache, "
+            f"e.g. {uniq[:4]} — ids must be unique across classes after "
+            "basename/extension normalization (rename the colliding files)"
+        )
+
+    # Validate everything BEFORE creating the store: a failure mid-write
+    # would otherwise leave a partial but valid-looking store on disk that
+    # eval silently runs on, and a retry hits the 'already exists' refusal.
     dim: int | None = None
+    for vid, feat, _ in resolved:
+        dim = _check_feature(vid, feat, dim)
+
     store = FeatureStore(store_root, class_names=names, process_index=0,
                          dtype=store_dtype)
     for n_done, (vid, feat, label) in enumerate(resolved, 1):
-        dim = _check_feature(vid, feat, dim)
         store.put(vid, np.asarray(feat, np.float32), label)
         if n_done % _FLUSH_EVERY == 0:
             store.flush()
@@ -246,7 +326,8 @@ def import_cache(
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser("import_features", description=__doc__)
     ap.add_argument("--src", required=True,
-                    help="cache: class-tree dir, flat .npy dir, .npz, .pkl")
+                    help="cache: class-tree dir, flat .npy dir, .npz, "
+                         ".pt/.pth (torch.save'd dict), .pkl")
     ap.add_argument("--store", required=True, help="output store (fresh dir)")
     ap.add_argument("--split", default=None,
                     help="TSN split txt mapping video ids to labels "

@@ -68,6 +68,29 @@ def test_npz_export_carries_labels_sidecar(tmp_path):
     assert labels["v2_3"] == {"label": 2, "class_name": "PushUps"}
 
 
+def test_tree_export_refuses_mangled_id_collision(tmp_path):
+    # 'a/b' and 'a_b' both mangle to 'a_b.npy' — a silent last-wins write
+    # would drop one clip from the "bit-exact" round trip. Refused instead,
+    # before anything is written.
+    store = FeatureStore(str(tmp_path / "store"), class_names=CLASSES,
+                         process_index=0)
+    f = np.ones((8,), np.float32)
+    store.put("a/b", f, 0)
+    store.put("a_b", 2 * f, 0)
+    store.flush()
+    with pytest.raises(ValueError, match="both map to"):
+        export_store(str(tmp_path / "store"), str(tmp_path / "tree"))
+    assert not os.path.exists(tmp_path / "tree" / CLASSES[0])
+    # Same ids in different classes don't collide (distinct dirs).
+    store2 = FeatureStore(str(tmp_path / "s2"), class_names=CLASSES,
+                          process_index=0)
+    store2.put("a/b", f, 0)
+    store2.put("a_b", 2 * f, 1)
+    store2.flush()
+    summary = export_store(str(tmp_path / "s2"), str(tmp_path / "t2"))
+    assert summary["clips"] == 2
+
+
 def test_nameless_store_exports_numeric_tree(tmp_path):
     _make_store(tmp_path / "store", class_names=None)
     export_store(str(tmp_path / "store"), str(tmp_path / "tree"))

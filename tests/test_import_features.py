@@ -117,6 +117,85 @@ def test_dict_caches_both_keyings(tmp_path):
                      split=str(split), allow_pickle=True)
 
 
+def test_torch_pt_caches_both_keyings_and_trust_gate(tmp_path):
+    torch = pytest.importorskip("torch")
+    # Vid-keyed tensor dict loads via torch's restricted unpickler
+    # (weights_only=True) — no trust flag needed. Split lines carry the
+    # lineage's real '.avi' paths, which must normalize to the cache ids.
+    by_vid = {f"v{ci}_{i}": torch.from_numpy(_feat(ci, i))
+              for ci in range(3) for i in range(2)}
+    pt = tmp_path / "byvid.pt"
+    torch.save(by_vid, str(pt))
+    split = tmp_path / "list.txt"
+    split.write_text("".join(
+        f"Class{ci}/v{ci}_{i}.avi 30 {ci}\n"
+        for ci in range(3) for i in range(2)))
+    summary = import_cache(str(pt), str(tmp_path / "sv"), split=str(split))
+    assert summary["clips"] == 6
+    data = FeatureStore(str(tmp_path / "sv"), process_index=0).load_all()
+    np.testing.assert_allclose(data["v2_1"][0], _feat(2, 1), rtol=1e-6)
+    assert data["v2_1"][1] == 2
+
+    # Class-keyed .pth of [N, D] tensors needs no split.
+    by_class = {
+        c: torch.from_numpy(np.stack([_feat(ci, i) for i in range(3)]))
+        for ci, c in enumerate(CLASSES)}
+    pth = tmp_path / "byclass.pth"
+    torch.save(by_class, str(pth))
+    summary = import_cache(str(pth), str(tmp_path / "sc"))
+    assert summary["clips"] == 9 and summary["classes"] == 3
+
+    # A payload the restricted unpickler rejects (numpy values) is gated
+    # behind --allow-pickle, then imports identically.
+    np_vid = {f"v{ci}_{i}": _feat(ci, i) for ci in range(3) for i in range(2)}
+    ptn = tmp_path / "np.pt"
+    torch.save(np_vid, str(ptn))
+    with pytest.raises(ValueError, match="allow-pickle"):
+        import_cache(str(ptn), str(tmp_path / "sn0"), split=str(split))
+    summary = import_cache(str(ptn), str(tmp_path / "sn"), split=str(split),
+                           allow_pickle=True)
+    assert summary["clips"] == 6
+
+
+def test_split_media_extensions_match_flat_npy_ids(tmp_path):
+    # Real TSN split lists reference source videos ('Class/v_x.avi'); the
+    # flat cache holds 'v_x.npy'. Both normalize to the same id.
+    src = tmp_path / "flat"
+    os.makedirs(src)
+    for ci in range(2):
+        np.save(str(src / f"v_{ci}.npy"), _feat(ci, 0))
+    split = tmp_path / "list.txt"
+    split.write_text("A/v_0.avi 30 0\nB/v_1.mp4 30 1\n")
+    summary = import_cache(str(src), str(tmp_path / "s"), split=str(split))
+    assert summary["clips"] == 2
+    data = FeatureStore(str(tmp_path / "s"), process_index=0).load_all()
+    assert data["v_1"][1] == 1
+
+
+def test_duplicate_video_ids_refuse(tmp_path):
+    # Same basename under two class dirs: last-wins would silently import
+    # one clip with the other's label.
+    src = tmp_path / "cache"
+    _write_class_tree(str(src))
+    np.save(str(src / CLASSES[1] / "v000.npy"), _feat(1, 0))
+    with pytest.raises(ValueError, match="more than once"):
+        import_cache(str(src), str(tmp_path / "s0"))
+
+
+def test_validation_failure_leaves_no_partial_store(tmp_path):
+    # All features validate BEFORE the store is created: a bad clip past
+    # the first flush must not leave a partial, valid-looking store that a
+    # retry then refuses on.
+    src = tmp_path / "cache"
+    _write_class_tree(str(src))
+    np.save(str(src / CLASSES[2] / "zz_last.npy"), np.ones((8,), np.float32))
+    with pytest.raises(ValueError, match="dim mismatch"):
+        import_cache(str(src), str(tmp_path / "s0"))
+    assert not os.path.exists(str(tmp_path / "s0" / "manifest.json"))
+    os.remove(str(src / CLASSES[2] / "zz_last.npy"))
+    assert import_cache(str(src), str(tmp_path / "s0"))["clips"] == 12
+
+
 def test_refusals_dim_mismatch_existing_store_mixed_layout(tmp_path):
     src = tmp_path / "cache"
     _write_class_tree(str(src))
