@@ -1,0 +1,165 @@
+"""Deployment benchmark: `eov classify` per-query latency + batched queries/s.
+
+VERDICT r4 weak #2: the classify surface (SURVEY.md §2a C8 *applied* —
+the deployment side of BASELINE.json:2's latency axis) carried no measured
+number. This bench measures the production classify path end-to-end after
+jit warmup, exactly as cmd_classify executes it: disk JPEG reads -> decode
+-> TSN center sampling -> the fused preprocess+backbone featurization ->
+host-side fused_class_scores match against a [C, M, D] support table
+(same matcher rules, same non-jitted call the CLI makes).
+
+Two axes in ONE line:
+  value                        = per-query latency, batch 1 (median), ms
+  detail.queries_per_s_batched = steady-state batched throughput
+  detail.match_ms              = the matcher's share (it is ~free; decode
+                                 + backbone dominate, so slimming beyond
+                                 the r5 tempdir removal has no headroom)
+
+Support features are random-normal (score values don't change the work);
+the table is UCF101-shaped by default: 101 classes x 5 members.
+
+Env knobs: EOV_CLASSIFY_PLATFORM (default cpu — a deployment query arrives
+at whatever host serves it; set tpu for the tunneled chip),
+EOV_CLASSIFY_REPEATS (default 5), EOV_CLASSIFY_ARCH (default resnet50),
+EOV_CLASSIFY_FRAMES (default 32), EOV_CLASSIFY_HW (default 256x340),
+EOV_CLASSIFY_CLASSES (default 101), EOV_CLASSIFY_SHOTS (default 5),
+EOV_CLASSIFY_QUERIES (default 16), EOV_CLASSIFY_BATCH (default 8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+_PLATFORM = os.environ.get("EOV_CLASSIFY_PLATFORM", "cpu")
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", _PLATFORM)
+    from eov_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench_episode import _write_fixture
+    from eov_tpu.config import get_preset
+    from eov_tpu.data import datasets
+    from eov_tpu.extract import _center_indices_np, make_feature_fn
+    from eov_tpu.models import get_arch
+    from eov_tpu.ops import similarity as sim
+
+    platform = jax.devices()[0].platform
+    repeats = int(os.environ.get("EOV_CLASSIFY_REPEATS", "5"))
+    ecfg = get_preset("episode_cpu").extract
+    arch = os.environ.get("EOV_CLASSIFY_ARCH", ecfg.arch)
+    if arch != ecfg.arch:
+        import dataclasses as _dc
+
+        ecfg = _dc.replace(ecfg, arch=arch)
+    n_frames = int(os.environ.get("EOV_CLASSIFY_FRAMES", "32"))
+    fh, _, fw = os.environ.get("EOV_CLASSIFY_HW", "256x340").partition("x")
+    fh, fw = int(fh), int(fw)
+    n_classes = int(os.environ.get("EOV_CLASSIFY_CLASSES", "101"))
+    n_shots = int(os.environ.get("EOV_CLASSIFY_SHOTS", "5"))
+    n_queries = int(os.environ.get("EOV_CLASSIFY_QUERIES", "16"))
+    batch = int(os.environ.get("EOV_CLASSIFY_BATCH", "8"))
+
+    ctor, _, _ = get_arch(ecfg.arch)
+    model = ctor(dtype=jnp.dtype(ecfg.compute_dtype))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    fn = make_feature_fn(params, ecfg)
+
+    with tempfile.TemporaryDirectory(prefix="eov_classify_") as root:
+        # Query clips: UCF-geometry JPEG frame folders, like config 1.
+        syn = datasets.SyntheticVideoDataset(
+            n_classes=max(2, min(5, n_queries)),
+            clips_per_class=-(-n_queries // max(2, min(5, n_queries))),
+            min_frames=n_frames, max_frames=n_frames,
+            height=fh, width=fw, seed=0,
+        )
+        split = _write_fixture(root, syn)
+        ds = datasets.FrameFolderDataset(root, split, syn.class_names)
+        records = ds.records[:n_queries]
+
+        def decode(rec):
+            idx = _center_indices_np(rec.num_frames, ecfg.num_segments)
+            return ds.get_frames(rec, idx)
+
+        # Support table: feature dim comes from the real backbone output.
+        d = int(np.asarray(fn(jnp.asarray(decode(records[0])[None]))).shape[-1])
+        rng = np.random.default_rng(7)
+        table = rng.normal(size=(n_classes, n_shots, d)).astype(np.float32)
+        mask = np.ones((n_classes, n_shots), np.float32)
+
+        def classify_batch(recs) -> tuple[np.ndarray, float]:
+            """cmd_classify's path for a batch: decode+featurize, then the
+            host-side matcher call. Returns (preds, matcher seconds)."""
+            frames = np.stack([decode(r) for r in recs])
+            q = np.asarray(fn(jnp.asarray(frames)))  # sync: features on host
+            t0 = time.perf_counter()
+            scores = np.asarray(sim.fused_class_scores(q, table, mask))
+            match_s = time.perf_counter() - t0
+            return scores.argmax(axis=-1), match_s
+
+        # Warm both shapes (jit compile + first-touch) before timing.
+        t0 = time.perf_counter()
+        classify_batch(records[:1])
+        classify_batch(records[:batch])
+        warm_s = time.perf_counter() - t0
+
+        # Axis 1: batch-1 latency over distinct clips.
+        lat, match_ms = [], []
+        for i in range(repeats):
+            rec = records[i % len(records)]
+            t0 = time.perf_counter()
+            _, m = classify_batch([rec])
+            lat.append(time.perf_counter() - t0)
+            match_ms.append(m * 1e3)
+
+        # Axis 2: batched steady-state over every query.
+        t0 = time.perf_counter()
+        done = 0
+        for s in range(0, len(records), batch):
+            recs = records[s:s + batch]
+            if len(recs) < batch:  # keep the jitted batch shape static
+                recs = (recs * batch)[:batch]
+            classify_batch(recs)
+            done += batch
+        batched_s = time.perf_counter() - t0
+
+    med = statistics.median(lat)
+    print(json.dumps({
+        "metric": "classify_query_latency",
+        "value": round(med * 1e3, 1),
+        "unit": "ms/query",
+        "vs_baseline": None,
+        "detail": {
+            "platform": platform,
+            "arch": ecfg.arch,
+            "repeats": repeats,
+            "ms_min": round(min(lat) * 1e3, 1),
+            "ms_max": round(max(lat) * 1e3, 1),
+            "match_ms_median": round(statistics.median(match_ms), 3),
+            "queries_per_s_batched": round(done / batched_s, 2),
+            "batch": batch,
+            "n_queries": len(records),
+            "support_classes": n_classes,
+            "support_shots": n_shots,
+            "feature_dim": d,
+            "frames_per_query": ecfg.num_segments,
+            "frame_hw": [fh, fw],
+            "warmup_s": round(warm_s, 2),
+            "params": "random-init (latency is weight-value-independent)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

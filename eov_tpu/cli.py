@@ -407,12 +407,10 @@ def cmd_classify(args) -> int:
     over the same class names, a final accuracy summary is printed.
     """
     _setup_platform(args)
-    import tempfile
-
     import numpy as np
 
     from eov_tpu.config import get_preset, resolved_dict
-    from eov_tpu.data.store import FeatureStore
+    from eov_tpu.data.store import FeatureStore, MemoryFeatureStore
     from eov_tpu.embodied import union_support
     from eov_tpu.extract import extract_features
     from eov_tpu.ops import similarity as sim
@@ -456,13 +454,13 @@ def cmd_classify(args) -> int:
 
     # Featurize the queries through the production extract pipeline (same
     # preprocessing + backbone program as the support features should have
-    # used; a dimension mismatch below means they didn't).
+    # used; a dimension mismatch below means they didn't). Queries are
+    # consumed right here, so they stay in memory — no tempdir store.
     params = _load_params(args, cfg.compute_dtype)
     dataset = _load_dataset(args)
-    with tempfile.TemporaryDirectory() as tmp:
-        qstore = FeatureStore(tmp, class_names=list(dataset.class_names))
-        stats = extract_features(dataset, params, qstore, cfg)
-        qfeats = qstore.load_all()  # video_id -> (feature, label)
+    qstore = MemoryFeatureStore(class_names=list(dataset.class_names))
+    stats = extract_features(dataset, params, qstore, cfg)
+    qfeats = qstore.load_all()  # video_id -> (feature, label)
     if not qfeats:
         raise SystemExit("no query clips could be featurized")
     d_q = next(iter(qfeats.values()))[0].shape[-1]

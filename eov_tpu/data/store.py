@@ -35,7 +35,7 @@ import numpy as np
 
 from eov_tpu.eval import FeatureTable
 
-__all__ = ["FeatureStore"]
+__all__ = ["FeatureStore", "MemoryFeatureStore"]
 
 _MANIFEST = "manifest.json"
 
@@ -265,19 +265,67 @@ class FeatureStore:
         data = self.load_all()
         if not data:
             raise ValueError(f"empty feature store: {self.root}")
-        labels = [label for _, label in data.values()]
-        c = n_classes or (max(labels) + 1)
-        per_class: list[list[np.ndarray]] = [[] for _ in range(c)]
-        # Sort ids for a deterministic slot order regardless of shard order.
-        for vid in sorted(data.keys()):
-            feat, label = data[vid]
-            per_class[label].append(feat)
-        d = next(iter(data.values()))[0].shape[-1]
-        m = max(1, max(len(p) for p in per_class))
-        feats = np.zeros((c, m, d), np.float32)
-        counts = np.zeros((c,), np.int32)
-        for ci, plist in enumerate(per_class):
-            for mi, f in enumerate(plist):
-                feats[ci, mi] = f
-            counts[ci] = len(plist)
-        return FeatureTable(jnp.asarray(feats), jnp.asarray(counts))
+        return _table_from_dict(data, n_classes)
+
+
+def _table_from_dict(
+    data: dict[str, tuple[np.ndarray, int]], n_classes: int | None = None,
+) -> FeatureTable:
+    """Shared to_table body: {vid: (feature, label)} -> padded FeatureTable."""
+    labels = [label for _, label in data.values()]
+    c = n_classes or (max(labels) + 1)
+    per_class: list[list[np.ndarray]] = [[] for _ in range(c)]
+    # Sort ids for a deterministic slot order regardless of shard order.
+    for vid in sorted(data.keys()):
+        feat, label = data[vid]
+        per_class[label].append(feat)
+    d = next(iter(data.values()))[0].shape[-1]
+    m = max(1, max(len(p) for p in per_class))
+    feats = np.zeros((c, m, d), np.float32)
+    counts = np.zeros((c,), np.int32)
+    for ci, plist in enumerate(per_class):
+        for mi, f in enumerate(plist):
+            feats[ci, mi] = f
+        counts[ci] = len(plist)
+    return FeatureTable(jnp.asarray(feats), jnp.asarray(counts))
+
+
+class MemoryFeatureStore:
+    """In-process stand-in for :class:`FeatureStore` (same API subset the
+    extraction pipeline writes through: put/flush/done_ids, plus the
+    load_all/to_table/class_names read side).
+
+    For features consumed immediately in the same process — `eov classify`
+    featurizes query clips and matches them in one run — a tempdir
+    FeatureStore costs two full disk copies of the feature set plus
+    shard/manifest IO, and buys nothing: nothing ever resumes from it.
+    flush() is a no-op (everything put() is immediately visible), so the
+    resume/durability semantics documented on FeatureStore do NOT apply.
+    """
+
+    def __init__(self, class_names: Sequence[str] | None = None):
+        self._class_names = list(class_names) if class_names else []
+        self._data: dict[str, tuple[np.ndarray, int]] = {}
+
+    @property
+    def class_names(self) -> list[str]:
+        return list(self._class_names)
+
+    def put(self, video_id: str, feature: np.ndarray, label: int) -> None:
+        self._data[str(video_id)] = (
+            np.asarray(feature, np.float32), int(label)
+        )
+
+    def flush(self) -> None:
+        return None
+
+    def done_ids(self) -> set[str]:
+        return set(self._data)
+
+    def load_all(self) -> dict[str, tuple[np.ndarray, int]]:
+        return dict(self._data)
+
+    def to_table(self, n_classes: int | None = None) -> FeatureTable:
+        if not self._data:
+            raise ValueError("empty in-memory feature store")
+        return _table_from_dict(self._data, n_classes)

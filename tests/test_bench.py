@@ -106,6 +106,58 @@ def test_bench_episode_schema(monkeypatch, capsys):
     assert d["clips_per_episode"] == 10 and d["arch"] == "resnet18"
 
 
+def test_bench_classify_schema(monkeypatch, capsys):
+    """Deployment classify bench (VERDICT r4 weak #2): one JSON line with
+    both axes — batch-1 ms/query (median inside its band) and batched
+    queries/s. Shrunk fixtures; the artifact of record keeps resnet50 +
+    UCF geometry."""
+    monkeypatch.setenv("EOV_CLASSIFY_REPEATS", "2")
+    monkeypatch.setenv("EOV_CLASSIFY_ARCH", "resnet18")
+    monkeypatch.setenv("EOV_CLASSIFY_FRAMES", "8")
+    monkeypatch.setenv("EOV_CLASSIFY_HW", "64x80")
+    monkeypatch.setenv("EOV_CLASSIFY_CLASSES", "11")
+    monkeypatch.setenv("EOV_CLASSIFY_QUERIES", "5")  # != batch: pad path
+    monkeypatch.setenv("EOV_CLASSIFY_BATCH", "3")
+    sys.path.insert(0, ".")
+    import bench_classify
+
+    rec = _run_capturing(bench_classify.main, capsys)
+    assert rec["metric"] == "classify_query_latency"
+    assert rec["unit"] == "ms/query"
+    d = rec["detail"]
+    assert d["ms_min"] <= rec["value"] <= d["ms_max"]
+    assert d["queries_per_s_batched"] > 0
+    assert d["match_ms_median"] < rec["value"]  # matcher is the small part
+    assert d["support_classes"] == 11 and d["feature_dim"] == 512
+
+
+def test_bench_fused_eval_schema_and_parity_rail(monkeypatch, capsys):
+    """The literal config-4 fused program A/B (VERDICT r4 weak #1): one
+    JSON line; the parity rail — fused and cached sides run the identical
+    canonical protocol — must agree on per-step accuracy."""
+    for k, v in {
+        "EOV_FUSED_CLASSES": "6", "EOV_FUSED_CLIPS": "4",
+        "EOV_FUSED_FRAMES": "2", "EOV_FUSED_HW": "64x80",
+        "EOV_FUSED_EPS_STEP": "4", "EOV_FUSED_ARCH": "resnet18",
+        "EOV_FUSED_CHUNK": "8", "EOV_FUSED_ITERS": "1",
+        "EOV_FUSED_WINDOW": "1", "EOV_FUSED_SCALE": "64",
+        "EOV_FUSED_CROP": "56",
+    }.items():
+        monkeypatch.setenv(k, v)
+    sys.path.insert(0, ".")
+    import bench_fused_eval
+
+    rec = _run_capturing(bench_fused_eval.main, capsys)
+    assert rec["metric"] == "fused_vs_cached_eval_step"
+    d = rec["detail"]
+    # The literal fused program re-runs the backbone per episode member;
+    # it cannot beat the cached step even on CPU.
+    assert rec["value"] > 1
+    assert d["fused_step_s"] > d["cached_step_s"]
+    assert d["acc_max_delta"] <= 1e-6  # same protocol, same accuracies
+    assert d["protocol_cached_s_incl_extract"] > d["extract_bank_s"]
+
+
 def test_bench_flops_rail_never_null(monkeypatch, capsys):
     """VERDICT r1 #3: the artifact of record must be self-verifying —
     step_tflops / effective_tflops_per_s non-null on every backend."""

@@ -52,6 +52,30 @@ def test_extract_and_store_roundtrip(tmp_path):
     assert int(np.asarray(table.counts).sum()) == len(ds.records)
 
 
+def test_memory_store_matches_disk_store(tmp_path):
+    """extract_features into a MemoryFeatureStore (the classify query path,
+    r5 — no tempdir round trip) is bit-identical to the disk store."""
+    from eov_tpu.data.store import MemoryFeatureStore
+
+    ds, disk, _ = _extract_to_store(tmp_path, name="m")
+    mem = MemoryFeatureStore(class_names=ds.class_names)
+    extract.extract_features(
+        ds, None, mem,
+        extract.ExtractConfig(num_segments=4, deterministic=True),
+        feature_fn=_cheap_feature_fn,
+    )
+    a, b = disk.load_all(), mem.load_all()
+    assert a.keys() == b.keys()
+    for vid in a:
+        np.testing.assert_array_equal(a[vid][0], b[vid][0])
+        assert a[vid][1] == b[vid][1]
+    t1, t2 = disk.to_table(), mem.to_table()
+    np.testing.assert_array_equal(
+        np.asarray(t1.features), np.asarray(t2.features))
+    np.testing.assert_array_equal(
+        np.asarray(t1.counts), np.asarray(t2.counts))
+
+
 def test_extract_resume_skips_done(tmp_path):
     ds, store, stats = _extract_to_store(tmp_path, name="r")
     # Re-open the store and re-run: everything already durable.
