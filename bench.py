@@ -111,14 +111,31 @@ def main() -> None:
             "(pooled inside the stage-1 stack entry)"
         )
     ppool = "fused" if ppool_env == "fused" else ppool_env == "1"
+    # EOV_BENCH_QUANT=int8: post-training int8 MXU convs
+    # (models/quant_infer.py) — opt-in; v5e's int8 MXU rate is ~2x bf16.
+    quant_env = os.environ.get("EOV_BENCH_QUANT", "0")
+    if quant_env not in ("0", "int8"):
+        raise SystemExit(
+            f"EOV_BENCH_QUANT={quant_env!r}: accepted forms are 0 (bf16 "
+            "production path) and int8"
+        )
+    quant = "int8" if quant_env == "int8" else None
+    if quant and (s2d or ppool or (fused_env not in (None, "auto", "none"))):
+        raise SystemExit(
+            "EOV_BENCH_QUANT=int8 runs its own XLA conv walk; unset "
+            "EOV_BENCH_S2D / EOV_BENCH_PALLAS_POOL / EOV_BENCH_FUSED_STAGES "
+            "so the variant label cannot mix paths"
+        )
     cfg = ExtractConfig(
         num_segments=k, arch=arch, scale_size=scale, crop_size=224,
-        stem_s2d=s2d, fused_stages=fused, pallas_crop=pcrop,
-        fused_group=fgroup, pallas_pool=ppool,
+        stem_s2d=s2d, fused_stages=() if quant else fused,
+        pallas_crop=pcrop, fused_group=fgroup, pallas_pool=ppool, quant=quant,
     )
     from eov_tpu.extract import resolve_fused_stages
 
-    fused_resolved = resolve_fused_stages(fused, folded=True, arch=arch)
+    fused_resolved = (
+        () if quant else resolve_fused_stages(fused, folded=True, arch=arch)
+    )
     if ppool == "fused" and 1 not in fused_resolved:
         raise SystemExit(
             "EOV_BENCH_PALLAS_POOL=fused pools inside the stage-1 stack "
@@ -141,7 +158,7 @@ def main() -> None:
         # wearing the standalone-kernel '+ppool' label.
         "+poolfs" if ppool == "fused"
         else "+ppool" if ppool is True and fused_resolved else ""
-    )
+    ) + ("+int8" if quant else "")
     fn = make_feature_fn(params, cfg)
 
     trace_dir = os.environ.get("EOV_BENCH_TRACE")
@@ -295,6 +312,11 @@ def main() -> None:
                         if platform == "tpu" else None
                     ),
                     "flops_source": flops_source,
+                    # int8 runs report bf16-FLOP-equivalent throughput; the
+                    # mfu field stays literally vs-197-TFLOP/s (v5e int8
+                    # peak is ~2x that, so int8 mfu > 1 is NOT a broken
+                    # fence if quant is set — cross-check vs 394 TOPS).
+                    "quant": quant,
                     "window": window,
                     "iters": iters,
                     "repeats": len(repeat_cps),

@@ -287,7 +287,19 @@ def cmd_extract(args) -> int:
                 args.pallas_pool
             ],
         )
+    if getattr(args, "quant", None) is not None:
+        cfg = _dc.replace(
+            cfg, quant=None if args.quant == "off" else args.quant
+        )
     if args.multichip:
+        if cfg.quant:
+            # The sharded featurizer (parallel/sharded.py) builds its own
+            # forward; running it under a --quant flag would silently
+            # extract bf16 features wearing an int8 label.
+            raise SystemExit(
+                "--quant int8 is single-chip only (the sharded featurizer "
+                "runs the bf16 forward); drop --multichip or --quant"
+            )
         # Config 5 (pod_extract): DP over all chips of all hosts — mesh from
         # parallel/, per-host record shard, batches padded to mesh-divisible.
         import dataclasses
@@ -992,6 +1004,14 @@ def main(argv=None) -> int:
                        "kernel (measured negative, BASELINE.md r3), "
                        "'fused' = pooled inside the fused stage-1 stack "
                        "entry (requires stage 1 fused)",
+           },
+           "--quant": {
+               "dest": "quant", "default": None,
+               "choices": ("off", "int8"),
+               "help": "post-training quantized backbone: 'off' = bf16 "
+                       "production path (default), 'int8' = int8 MXU convs "
+                       "(models/quant_infer.py; accuracy bound per-store "
+                       "with eval --per-episode-out + tools/compare_eval)",
            }})
     add(
         "eval", cmd_eval,

@@ -87,6 +87,13 @@ class ExtractConfig:
                                    # reduce_window; "fused" folds the pool
                                    # into the stage-1 stack kernel's entry
                                    # (needs stage 1 fused); fused path only
+    quant: str | None = None       # None (bf16 production default) | "int8":
+                                   # post-training int8 MXU convs
+                                   # (models/quant_infer.py) — opt-in, and
+                                   # accuracy-bounded per run by the paired
+                                   # rails (tests/test_quant_infer.py)
+    quant_calib_clips: int = 8     # calibration clips (synthetic fixtures)
+                                   # for the int8 activation scales
 
 
 def resolve_fused_stages(
@@ -210,6 +217,51 @@ def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
             f"(arch={cfg.arch!r}); use pallas_pool=True for the standalone "
             "kernel"
         )
+    qvars = None
+    if cfg.quant is not None:
+        # Post-training int8 path (models/quant_infer.py). Config-time
+        # refusals mirror the pallas_pool policy above: every incompatible
+        # combination fails here, before decode/setup (and before the first
+        # trace in a pod run), never silently falls back.
+        if cfg.quant != "int8":
+            raise ValueError(
+                f"quant={cfg.quant!r}: the only implemented scheme is 'int8'"
+            )
+        if not folded:
+            raise ValueError(
+                "quant='int8' quantizes the FOLDED inference path: it needs "
+                "fold_bn=True and raw params with batch_stats (got "
+                f"fold_bn={cfg.fold_bn}, batch_stats "
+                f"{'present' if 'batch_stats' in params else 'absent'})"
+            )
+        if cfg.stem_s2d:
+            raise ValueError(
+                "quant='int8' composes with the standard stem only; the s2d "
+                "kernel rewrite reshapes conv1's input layout "
+                "(set stem_s2d=False)"
+            )
+        if fused_stages or cfg.pallas_pool:
+            # The int8 forward is its own XLA conv walk; the bf16 Pallas
+            # stacks/pool cannot wear a quant label.
+            log.warning(
+                "quant='int8': fused_stages=%r / pallas_pool=%r ignored — "
+                "the int8 forward runs its own XLA conv walk",
+                fused_stages, cfg.pallas_pool,
+            )
+            fused_stages = ()
+        from eov_tpu.models.quant_infer import (
+            calibrate_and_quantize, synthetic_calib_frames,
+        )
+
+        calib_u8 = synthetic_calib_frames(
+            cfg.quant_calib_clips, cfg.num_segments,
+            cfg.scale_size, cfg.scale_size,
+        )
+        calib_x = preprocess.preprocess_eval(
+            jnp.asarray(calib_u8), scale_size=cfg.scale_size,
+            crop_size=cfg.crop_size, dtype=jnp.float32,
+        )
+        qvars = calibrate_and_quantize(params, calib_x, arch=cfg.arch)
 
     @jax.jit
     def feature_fn(frames_u8: jax.Array) -> jax.Array:
@@ -228,7 +280,13 @@ def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
                 crop_size=cfg.crop_size,
                 dtype=dtype,
             )  # [B, K, 224, 224, 3]
-        if folded and fused_stages:
+        if qvars is not None:
+            from eov_tpu.models.quant_infer import quant_feature_apply
+
+            feats = quant_feature_apply(
+                qvars, x, arch=cfg.arch, dtype=dtype
+            )  # [B, K, D]
+        elif folded and fused_stages:
             from eov_tpu.models.folded_infer import folded_feature_apply
 
             feats = folded_feature_apply(

@@ -264,3 +264,30 @@ def test_bench_rejects_fused_pool_without_stage1(monkeypatch):
 
     with pytest.raises(SystemExit, match="requires stage 1"):
         bench.main()
+
+
+def test_bench_quant_flag_validation(monkeypatch):
+    """EOV_BENCH_QUANT refusals exit before any compile (r5): bogus values
+    and label-mixing combinations (int8 + s2d/pool/fused) are SystemExits.
+    The quant program itself is covered at test scale by test_quant_infer
+    and on hardware by test_tpu_hardware (a resnet50 CPU run here would
+    cost the suite minutes)."""
+    import pytest
+
+    sys.path.insert(0, ".")
+    import bench
+
+    monkeypatch.setenv("EOV_BENCH_BATCH", "1")
+    monkeypatch.setenv("EOV_BENCH_ITERS", "1")
+    monkeypatch.setenv("EOV_BENCH_WINDOW", "1")
+    monkeypatch.setenv("EOV_BENCH_QUANT", "fp8")
+    with pytest.raises(SystemExit, match="EOV_BENCH_QUANT"):
+        bench.main()
+    monkeypatch.setenv("EOV_BENCH_QUANT", "int8")
+    monkeypatch.setenv("EOV_BENCH_S2D", "1")
+    with pytest.raises(SystemExit, match="own XLA conv walk"):
+        bench.main()
+    monkeypatch.delenv("EOV_BENCH_S2D")
+    monkeypatch.setenv("EOV_BENCH_FUSED_STAGES", "1,2")
+    with pytest.raises(SystemExit, match="own XLA conv walk"):
+        bench.main()

@@ -185,3 +185,30 @@ def test_cli_jpeg_scale_denom_accuracy_delta_zero(tmp_path, capsys):
     stats = json.loads(out.strip().splitlines()[-1])
     assert stats["mean_diff"] == 0.0, stats
     assert stats["ties"] == stats["n_episodes"], stats
+
+
+def test_cli_extract_quant_int8(tmp_path, capsys):
+    """--quant int8 plumbs through to ExtractConfig (r5): the extraction
+    completes (calibration on synthetic fixtures, int8 conv walk) and the
+    resulting store evals; --multichip + --quant refuses up front (the
+    sharded featurizer would silently run bf16 under an int8 label).
+    Feature parity bounds live in tests/test_quant_infer.py."""
+    store = str(tmp_path / "q8")
+    out = _run(capsys, [
+        "extract", "--platform", "cpu", "--preset", "synthetic_smoke",
+        "--dataset", "synthetic", "--synthetic-classes", "3",
+        "--synthetic-clips", "2", "--arch", "resnet18",
+        "--store", store, "--quant", "int8",
+    ])
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["extracted"] == 6 and stats["failed"] == 0
+
+    with pytest.raises(SystemExit, match="single-chip only"):
+        cli.main([
+            "extract", "--platform", "cpu", "--preset", "synthetic_smoke",
+            "--dataset", "synthetic", "--synthetic-classes", "3",
+            "--synthetic-clips", "2", "--arch", "resnet18",
+            "--store", str(tmp_path / "q8mc"), "--quant", "int8",
+            "--multichip",
+        ])
+    capsys.readouterr()

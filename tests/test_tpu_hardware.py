@@ -412,3 +412,41 @@ def test_fused_basic_stack_on_hardware(tpu_backend):
     ))
     scale = np.abs(want16).max() + 1e-9
     assert np.abs(got16 - want16).max() / scale < 1.5e-2
+
+
+@requires_tpu
+def test_quant_int8_forward_on_hardware(tpu_backend):
+    """The int8 MXU conv walk (models/quant_infer.py) compiles and holds
+    its cosine bound vs the f32 folded forward on real hardware — the CPU
+    suite cannot prove XLA:TPU's s8xs8->s32 conv lowering behaves."""
+    import jax
+    import jax.numpy as jnp
+
+    from eov_tpu.models import get_arch
+    from eov_tpu.models.folded_infer import folded_feature_apply
+    from eov_tpu.models.quant_infer import (
+        calibrate_and_quantize, quant_feature_apply,
+    )
+    from eov_tpu.models.resnet import fold_batchnorm
+
+    model = get_arch("resnet18")[0](dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(7), jnp.zeros((1, 64, 64, 3)))
+    folded = fold_batchnorm(variables)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(
+        rng.uniform(-2.5, 2.5, (2, 4, 64, 64, 3)).astype(np.float32)
+    )
+
+    ref = np.asarray(folded_feature_apply(
+        folded, x, arch="resnet18", dtype=jnp.float32, fused_stages=()
+    ), dtype=np.float64)
+    qvars = calibrate_and_quantize(
+        folded, x.reshape((-1,) + x.shape[-3:]), arch="resnet18"
+    )
+    got = np.asarray(quant_feature_apply(
+        qvars, x, arch="resnet18", dtype=jnp.float32
+    ), dtype=np.float64)
+    cos = (got * ref).sum(-1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1)
+    )
+    assert cos.min() >= 0.99, cos
