@@ -440,6 +440,10 @@ def cmd_classify(args) -> int:
         cfg = _dc.replace(cfg, num_segments=args.num_segments)
     if getattr(args, "batch", None):
         cfg = _dc.replace(cfg, batch_clips=args.batch)
+    if getattr(args, "quant", None) is not None:
+        cfg = _dc.replace(
+            cfg, quant=None if args.quant == "off" else args.quant
+        )
     # Matcher rules default to the PRESET's eval protocol (flags override):
     # classify promises the rules the store's accuracy was validated under,
     # and e.g. kinetics_5shot's protocol is prototype-mean, not max.
@@ -1050,6 +1054,13 @@ def main(argv=None) -> int:
             "--batch": {
                 "type": int, "default": None,
                 "help": "query clips per device batch",
+            },
+            "--quant": {
+                "dest": "quant", "default": None,
+                "choices": ("off", "int8"),
+                "help": "query featurization precision — must match how "
+                        "the SUPPORT store was extracted (see extract "
+                        "--quant)",
             },
             "--select": {
                 "choices": ("latest", "best"), "default": "latest",

@@ -127,3 +127,22 @@ def test_classify_all_empty_store_refuses(tmp_path, capsys):
     # covered by to_table's empty-store error upstream.
     cap = _run(capsys, ["classify", *COMMON, "--store", str(tmp_path / "sup0")])
     assert cap.out.strip()
+
+
+def test_classify_quant_matches_quant_store(tmp_path, capsys):
+    """--quant int8 (r5): an int8-extracted support store self-matches when
+    queries are featurized with the SAME --quant flag — the flag mirrors
+    extract's override surface so deployment featurization can match the
+    store's."""
+    store = str(tmp_path / "q8sup")
+    rc = cli.main(["extract", *COMMON, "--store", store, "--quant", "int8"])
+    assert rc == 0
+    capsys.readouterr()
+    cap = _run(capsys, [
+        "classify", *COMMON, "--store", store, "--quant", "int8",
+    ])
+    rows = [json.loads(ln) for ln in cap.out.strip().splitlines()]
+    assert len(rows) == 6
+    for r in rows:
+        assert r["score"] > 0.999  # identical int8 program -> self-match
+    assert "accuracy 100.00%" in cap.err
