@@ -120,21 +120,34 @@ def main() -> None:
             "production path) and int8"
         )
     quant = "int8" if quant_env == "int8" else None
-    if quant and (s2d or ppool or (fused_env not in (None, "auto", "none"))):
+    if quant and (s2d or ppool):
         raise SystemExit(
-            "EOV_BENCH_QUANT=int8 runs its own XLA conv walk; unset "
-            "EOV_BENCH_S2D / EOV_BENCH_PALLAS_POOL / EOV_BENCH_FUSED_STAGES "
-            "so the variant label cannot mix paths"
+            "EOV_BENCH_QUANT=int8 runs the int8 conv walk; unset "
+            "EOV_BENCH_S2D / EOV_BENCH_PALLAS_POOL so the variant label "
+            "cannot mix paths"
         )
+    if quant and fused_env not in (None, "auto", "none", "1"):
+        # Under int8, EOV_BENCH_FUSED_STAGES=1 is the explicit opt-in for
+        # the int8 VMEM-resident stage-1 stack
+        # (ops/pallas_bottleneck_int8.py); 'auto' keeps the XLA walk (the
+        # r5-measured default). Other stage sets don't exist in int8.
+        raise SystemExit(
+            "EOV_BENCH_QUANT=int8 composes only with "
+            "EOV_BENCH_FUSED_STAGES=1 (the int8 fused stage-1 stack); "
+            f"got {fused_env!r}"
+        )
+    quant_fs1 = quant is not None and fused_env == "1"
     cfg = ExtractConfig(
         num_segments=k, arch=arch, scale_size=scale, crop_size=224,
-        stem_s2d=s2d, fused_stages=() if quant else fused,
+        stem_s2d=s2d,
+        fused_stages=((1,) if quant_fs1 else ()) if quant else fused,
         pallas_crop=pcrop, fused_group=fgroup, pallas_pool=ppool, quant=quant,
     )
     from eov_tpu.extract import resolve_fused_stages
 
     fused_resolved = (
-        () if quant else resolve_fused_stages(fused, folded=True, arch=arch)
+        ((1,) if quant_fs1 else ())
+        if quant else resolve_fused_stages(fused, folded=True, arch=arch)
     )
     if ppool == "fused" and 1 not in fused_resolved:
         raise SystemExit(

@@ -240,15 +240,32 @@ def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
                 "kernel rewrite reshapes conv1's input layout "
                 "(set stem_s2d=False)"
             )
-        if fused_stages or cfg.pallas_pool:
-            # The int8 forward is its own XLA conv walk; the bf16 Pallas
-            # stacks/pool cannot wear a quant label.
+        if cfg.pallas_pool:
+            # The pool kernels live in the bf16 fused-stage forward only.
             log.warning(
-                "quant='int8': fused_stages=%r / pallas_pool=%r ignored — "
-                "the int8 forward runs its own XLA conv walk",
-                fused_stages, cfg.pallas_pool,
+                "quant='int8': pallas_pool=%r ignored — the int8 forward "
+                "has no Pallas pool entry (stem pool runs as XLA "
+                "reduce_window)", cfg.pallas_pool,
             )
+        if cfg.fused_stages == "auto":
+            # The int8 XLA conv walk is the measured production default
+            # (BASELINE.md r5); the bf16 auto-set does not transfer. The
+            # int8 fused stage-1 stack is explicit opt-in below.
             fused_stages = ()
+        elif fused_stages:
+            # Explicit fused_stages under quant: route stage 1 through the
+            # int8 VMEM-resident stack (ops/pallas_bottleneck_int8.py).
+            # Config-time refusals mirror quant_feature_apply's.
+            if tuple(fused_stages) != (1,):
+                raise ValueError(
+                    "quant='int8' fused_stages supports (1,) only "
+                    f"(got fused_stages={cfg.fused_stages!r})"
+                )
+            if not get_arch(cfg.arch)[2]:
+                raise ValueError(
+                    "quant='int8' fused stage-1 is implemented for "
+                    f"bottleneck archs only (arch={cfg.arch!r})"
+                )
         from eov_tpu.models.quant_infer import (
             calibrate_and_quantize, synthetic_calib_frames,
         )
@@ -284,7 +301,10 @@ def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
             from eov_tpu.models.quant_infer import quant_feature_apply
 
             feats = quant_feature_apply(
-                qvars, x, arch=cfg.arch, dtype=dtype
+                qvars, x, arch=cfg.arch, dtype=dtype,
+                fused_stages=tuple(fused_stages),
+                fused_group=cfg.fused_group,
+                interpret=jax.default_backend() != "tpu",
             )  # [B, K, D]
         elif folded and fused_stages:
             from eov_tpu.models.folded_infer import folded_feature_apply

@@ -61,13 +61,18 @@ def _site_module(p, site: str):
     return m
 
 
-def _walk(p, frames, conv, *, stage_sizes, bottleneck, dtype):
+def _walk(p, frames, conv, *, stage_sizes, bottleneck, dtype,
+          stage_override=None):
     """The folded ResNet forward with every conv routed through ``conv``.
 
     ``conv(site, x, stride, pad)`` returns the pre-bias conv output in
     ``dtype``; everything else (bias, relu, maxpool, residual adds, GAP)
     mirrors models/folded_infer.folded_feature_apply's XLA path exactly,
     so the calibration and quantized forwards cannot drift structurally.
+
+    ``stage_override(i, x)`` (optional) may return the full stage-``i``
+    output (replacing its per-block loop — the int8 fused stage-1 Pallas
+    stack routes through this) or None to keep the per-block walk.
     """
     lead = frames.shape[:-3]
     x = frames.reshape((-1,) + frames.shape[-3:]).astype(dtype)
@@ -77,6 +82,11 @@ def _walk(p, frames, conv, *, stage_sizes, bottleneck, dtype):
         [(0, 0), (1, 1), (1, 1), (0, 0)],
     )
     for i, n_blocks in enumerate(stage_sizes):
+        if stage_override is not None:
+            y = stage_override(i, x)
+            if y is not None:
+                x = y
+                continue
         for j in range(n_blocks):
             stride = 2 if (i > 0 and j == 0) else 1
             name = f"layer{i + 1}_{j}"
@@ -179,26 +189,74 @@ def _qconv(x, qm, *, stride, pad, dtype):
     return (y.astype(jnp.float32) * (a * qm["w_scale"])).astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("arch", "dtype"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("arch", "dtype", "fused_stages", "fused_group",
+                     "interpret"),
+)
 def quant_feature_apply(
     qvariables,
     frames: jax.Array,            # [..., H, W, 3] float (preprocessed)
     *,
     arch: str = "resnet50",
     dtype: Any = jnp.bfloat16,
+    fused_stages: tuple[int, ...] = (),
+    fused_group: int = 1,
+    interpret: bool = False,
 ) -> jax.Array:
-    """frames [..., H, W, 3] -> features [..., D] via the int8 forward."""
+    """frames [..., H, W, 3] -> features [..., D] via the int8 forward.
+
+    ``fused_stages=(1,)`` routes stage 1 (the only all-stride-1 stage)
+    through the VMEM-resident int8 Pallas stack
+    (ops/pallas_bottleneck_int8.py) — same arithmetic as this function's
+    XLA conv walk (parity-tested), different memory behavior. Bottleneck
+    archs only; stages 2–4 stay XLA (their strided entries, and the bf16
+    stage-2 fusion precedent measured negative, BASELINE.md r2).
+    """
     from eov_tpu.models import get_arch
 
     _, stage_sizes, bottleneck = get_arch(arch)
     p = qvariables["params"]
 
+    if fused_stages and tuple(fused_stages) != (1,):
+        raise ValueError(
+            f"int8 fused_stages supports (1,) only, got {fused_stages!r}"
+        )
+    if fused_stages and not bottleneck:
+        raise ValueError(
+            "int8 fused stage-1 is implemented for bottleneck archs only "
+            f"(arch={arch!r})"
+        )
+
     def conv(site, x, stride, pad):
         return _qconv(x, _site_module(p, site),
                       stride=stride, pad=pad, dtype=dtype)
 
+    stage_override = None
+    if fused_stages:
+        from eov_tpu.ops.pallas_bottleneck import _resolve_group
+        from eov_tpu.ops.pallas_bottleneck_int8 import (
+            fused_bottleneck_stack_int8, pack_bottleneck_params_int8,
+        )
+
+        def stage_override(i, x):  # noqa: F811 — conditional hook
+            if i != 0:
+                return None
+            blocks = [
+                pack_bottleneck_params_int8(p[f"layer1_{j}"])
+                for j in range(stage_sizes[0])
+            ]
+            n, h, w, c = x.shape
+            g = _resolve_group(fused_group, n)
+            y = fused_bottleneck_stack_int8(
+                x.reshape(n, h * w, c), blocks, h=h, w=w, group=g,
+                interpret=interpret,
+            )
+            return y.reshape(n, h, w, y.shape[-1])
+
     return _walk(p, frames, conv,
-                 stage_sizes=stage_sizes, bottleneck=bottleneck, dtype=dtype)
+                 stage_sizes=stage_sizes, bottleneck=bottleneck, dtype=dtype,
+                 stage_override=stage_override)
 
 
 def synthetic_calib_frames(

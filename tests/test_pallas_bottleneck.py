@@ -210,3 +210,172 @@ def test_bottleneck_block_missing_w3_fails_loudly():
     x = jnp.zeros((1, 35, 16), jnp.float32)
     with pytest.raises(KeyError, match="w3"):
         fused_bottleneck_stack(x, blocks, h=5, w=7, interpret=True)
+
+
+# ---- int8 fused stack (ops/pallas_bottleneck_int8.py, r5) ----------------
+#
+# Semantics reference: models/quant_infer.py's XLA conv walk (_qconv) —
+# the measured +17.8% int8 production path. The kernel mirrors its
+# dequant/requant chain op for op (module doc). The int32 accumulations
+# are order-independent-exact; the f32 dequant/bias chain is the same
+# expression on both sides but XLA's FMA-contraction decisions differ
+# between the kernel's jit and the eager reference (~2 f32 ULPs measured),
+# so parity is tight-tolerance, not bitwise; grouped-vs-g1 IS bitwise.
+
+from eov_tpu.ops.pallas_bottleneck_int8 import (  # noqa: E402
+    fused_bottleneck_stack_int8, pack_bottleneck_params_int8,
+)
+
+
+def _mk_qblocks(rng, cin, cmid, cout, n_blocks):
+    """Random int8 weights + random positive scales, kernel layout."""
+    def wq(shape):
+        return jnp.asarray(rng.integers(-127, 128, shape, dtype=np.int8))
+
+    def sc(c):
+        return jnp.asarray(
+            rng.uniform(1e-3, 2e-2, (1, c)).astype(np.float32))
+
+    def inv():
+        return jnp.asarray(
+            rng.uniform(0.5, 4.0, (1, 1)).astype(np.float32))
+
+    def bias(c):
+        return jnp.asarray(
+            (rng.standard_normal((1, c)) * 0.2).astype(np.float32))
+
+    blocks = []
+    for bi in range(n_blocks):
+        ci = cin if bi == 0 else cout
+        b = {"w1": wq((ci, cmid)), "s1": sc(cmid), "q1": inv(),
+             "b1": bias(cmid),
+             "w2": wq((9, cmid, cmid)), "s2": sc(cmid), "q2": inv(),
+             "b2": bias(cmid),
+             "w3": wq((cmid, cout)), "s3": sc(cout), "q3": inv(),
+             "b3": bias(cout)}
+        if bi == 0 and ci != cout:
+            b.update({"wd": wq((ci, cout)), "sd": sc(cout), "qd": inv(),
+                      "bd": bias(cout)})
+        blocks.append(b)
+    return blocks
+
+
+def _qref_stack(x, blocks, dtype):
+    """XLA mirror of quant_infer._qconv over the same stack (NHWC)."""
+    def quant(v, inv_a):
+        return jnp.clip(
+            jnp.round(v.astype(jnp.float32) * inv_a[0, 0]), -127.0, 127.0
+        ).astype(jnp.int8)
+
+    def deq(acc, scale):
+        return (acc.astype(jnp.float32) * scale[0]).astype(dtype)
+
+    x = x.astype(dtype)
+    for b in blocks:
+        cmid = b["w2"].shape[-1]
+        xq = quant(x, b["q1"])
+        a1 = jnp.einsum("nhwc,cd->nhwd", xq.astype(jnp.int32),
+                        b["w1"].astype(jnp.int32))
+        y1 = jnp.maximum(deq(a1, b["s1"]) + b["b1"][0].astype(dtype), 0)
+        y1q = quant(y1, b["q2"])
+        a2 = jax.lax.conv_general_dilated(
+            y1q, b["w2"].reshape(3, 3, cmid, cmid), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y2 = jnp.maximum(deq(a2, b["s2"]) + b["b2"][0].astype(dtype), 0)
+        a3 = jnp.einsum("nhwc,cd->nhwd", quant(y2, b["q3"]).astype(jnp.int32),
+                        b["w3"].astype(jnp.int32))
+        y3 = deq(a3, b["s3"]) + b["b3"][0].astype(dtype)
+        if "wd" in b:
+            ad = jnp.einsum("nhwc,cd->nhwd",
+                            quant(x, b["qd"]).astype(jnp.int32),
+                            b["wd"].astype(jnp.int32))
+            r = deq(ad, b["sd"]) + b["bd"][0].astype(dtype)
+        else:
+            r = x
+        x = jnp.maximum(y3 + r, 0).astype(dtype)
+    return x
+
+
+@pytest.mark.parametrize("h,w", [(6, 10), (5, 7)])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_int8_kernel_matches_quant_walk(h, w, dtype):
+    """Edge masks, requant chains, projection residual — exact equality."""
+    rng = np.random.default_rng(20)
+    n, cin, cmid, cout = 2, 24, 16, 32
+    blocks = _mk_qblocks(rng, cin, cmid, cout, 3)
+    x = jnp.asarray(
+        (rng.standard_normal((n, h, w, cin)) * 0.5).astype(np.float32))
+    want = np.asarray(_qref_stack(x, blocks, dtype), np.float32)
+    got = np.asarray(
+        fused_bottleneck_stack_int8(
+            x.astype(dtype).reshape(n, h * w, cin), blocks, h=h, w=w,
+            interpret=True,
+        ), np.float32,
+    ).reshape(n, h, w, cout)
+    # f32: ~2-ULP FMA-contraction slack; bf16: one mantissa LSB. A ULP at
+    # the f32 dequant can flip a downstream round() to the neighboring
+    # int8 code — allow that quantization-grid step on a few elements.
+    rtol = 1e-5 if dtype == jnp.float32 else 1e-2
+    scale = float(np.max(np.abs(want)))
+    close = np.isclose(got, want, rtol=rtol, atol=rtol * scale)
+    assert close.mean() > 0.999, (1 - close.mean(), np.abs(got - want).max())
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05 * scale)
+
+
+@pytest.mark.parametrize("group", [2, 4])
+def test_int8_grouped_bit_identical_to_group1(group):
+    rng = np.random.default_rng(21)
+    n, h, w, cin, cmid, cout = 4, 6, 10, 24, 16, 32
+    blocks = _mk_qblocks(rng, cin, cmid, cout, 2)
+    x = jnp.asarray(
+        (rng.standard_normal((n, h * w, cin)) * 0.5).astype(np.float32))
+    g1 = np.asarray(fused_bottleneck_stack_int8(
+        x, blocks, h=h, w=w, group=1, interpret=True))
+    gk = np.asarray(fused_bottleneck_stack_int8(
+        x, blocks, h=h, w=w, group=group, interpret=True))
+    np.testing.assert_array_equal(g1, gk)
+
+
+def test_quant_apply_fused_stage1_matches_unfused():
+    """Full int8 forward: fused_stages=(1,) == the XLA walk — stem,
+    maxpool, stages 2-4, and GAP are shared code; stage 1 swaps the conv
+    walk for the kernel (pack_bottleneck_params_int8 wiring). Tolerance
+    per the FMA-contraction note above, plus the repo's per-clip cosine
+    rail on the final features."""
+    from eov_tpu.models.quant_infer import (
+        calibrate_and_quantize, quant_feature_apply,
+    )
+
+    variables = ResNet50(dtype=jnp.float32).init(
+        jax.random.PRNGKey(5), jnp.zeros((1, 64, 64, 3))
+    )
+    folded = fold_batchnorm(variables)
+    rng = np.random.default_rng(22)
+    frames = jnp.asarray(
+        (rng.standard_normal((2, 64, 64, 3)) * 0.7).astype(np.float32))
+    qvars = calibrate_and_quantize(folded, frames, arch="resnet50")
+    want = np.asarray(quant_feature_apply(
+        qvars, frames, arch="resnet50", dtype=jnp.float32))
+    got = np.asarray(quant_feature_apply(
+        qvars, frames, arch="resnet50", dtype=jnp.float32,
+        fused_stages=(1,), fused_group=2, interpret=True))
+    scale = float(np.max(np.abs(want)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3 * scale)
+    cos = (got * want).sum(-1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1))
+    assert cos.min() >= 0.999999, cos
+
+
+def test_int8_fused_stages_refusals():
+    from eov_tpu.models.quant_infer import quant_feature_apply
+
+    with pytest.raises(ValueError, match=r"\(1,\) only"):
+        quant_feature_apply(
+            {"params": {}}, jnp.zeros((1, 64, 64, 3)),
+            arch="resnet50", fused_stages=(1, 2), interpret=True)
+    with pytest.raises(ValueError, match="bottleneck archs only"):
+        quant_feature_apply(
+            {"params": {}}, jnp.zeros((1, 64, 64, 3)),
+            arch="resnet18", fused_stages=(1,), interpret=True)

@@ -156,9 +156,11 @@ def test_quant_refusals(params):
         make_feature_fn(folded, _cfg(quant="int8"))
 
 
-def test_quant_ignores_pallas_knobs_with_warning(params):
-    """fused_stages/pallas_pool cannot wear an int8 label: the quant walk
-    runs alone, with a warning naming the ignored knobs."""
+def test_quant_pallas_pool_warns_fused_stages_refuse(params):
+    """pallas_pool cannot wear an int8 label (warned + ignored: the int8
+    forward has no Pallas pool entry); explicit fused_stages under quant
+    either routes the int8 stage-1 stack (bottleneck archs, (1,) only —
+    r5) or refuses at config time — never a silent drop."""
     import logging
 
     frames_u8 = _frames()
@@ -168,13 +170,38 @@ def test_quant_ignores_pallas_knobs_with_warning(params):
     h.emit = records.append
     logger.addHandler(h)
     try:
-        fn = make_feature_fn(
-            params, _cfg(quant="int8", fused_stages=(1,))
-        )
+        fn = make_feature_fn(params, _cfg(quant="int8", pallas_pool=True))
     finally:
         logger.removeHandler(h)
     assert any("ignored" in r.getMessage() for r in records)
-    # And the result is still the quant path's (cosine-close to float).
     ref = np.asarray(make_feature_fn(params, _cfg())(frames_u8))
     got = np.asarray(fn(frames_u8))
     assert _cosine(got, ref).min() >= 0.99
+    # ARCH here is resnet18 (basic): explicit stage-1 fusion refuses.
+    with pytest.raises(ValueError, match="bottleneck archs only"):
+        make_feature_fn(params, _cfg(quant="int8", fused_stages=(1,)))
+    with pytest.raises(ValueError, match=r"\(1,\) only"):
+        make_feature_fn(params, _cfg(quant="int8", fused_stages=(1, 2)))
+
+
+def test_quant_fused_stage1_extract_wiring():
+    """make_feature_fn with quant='int8' + explicit fused_stages=(1,)
+    (bottleneck arch) routes stage 1 through the int8 Pallas stack and
+    matches the int8 XLA walk (interpret on CPU; compiled twin in
+    tests/test_tpu_hardware.py)."""
+    params50 = get_arch("resnet50")[0](dtype=jnp.float32).init(
+        jax.random.PRNGKey(2), jnp.zeros((1, *HW, 3))
+    )
+    frames_u8 = _frames(n=2)
+    base = _cfg(quant="int8", arch="resnet50")
+    want = np.asarray(make_feature_fn(params50, base)(frames_u8))
+    got = np.asarray(make_feature_fn(
+        params50,
+        dataclasses.replace(base, fused_stages=(1,), fused_group=2),
+    )(frames_u8))
+    # On the real u8 path an FMA-ULP difference can flip a requant round()
+    # to the neighboring int8 code, which then propagates — the two int8
+    # programs are cosine-equivalent (measured ~0.99998 at this scale),
+    # not bitwise. The paired episode-accuracy rail (same protocol as the
+    # int8-vs-f32 one) is the deployment-level guarantee.
+    assert _cosine(got, want).min() >= 0.9999

@@ -450,3 +450,44 @@ def test_quant_int8_forward_on_hardware(tpu_backend):
         np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1)
     )
     assert cos.min() >= 0.99, cos
+
+
+def test_quant_int8_fused_stage1_on_hardware(tpu_backend):
+    """The int8 fused stage-1 stack (ops/pallas_bottleneck_int8.py)
+    compiles through Mosaic ON HARDWARE (interpret mode proves nothing —
+    the u8-cast and i8-muli gaps were both hardware-only) and matches the
+    int8 XLA conv walk it rewrites. Equality here is tight-tolerance: the
+    int32 accumulations are exact, the f32 dequant chain differs only by
+    FMA-contraction ULPs (see tests/test_pallas_bottleneck.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eov_tpu.models import get_arch
+    from eov_tpu.models.quant_infer import (
+        calibrate_and_quantize, quant_feature_apply,
+    )
+    from eov_tpu.models.resnet import fold_batchnorm
+
+    model = get_arch("resnet50")[0](dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(9), jnp.zeros((1, 64, 64, 3)))
+    folded = fold_batchnorm(variables)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(
+        rng.uniform(-2.5, 2.5, (2, 4, 64, 64, 3)).astype(np.float32)
+    )
+    qvars = calibrate_and_quantize(
+        folded, x.reshape((-1,) + x.shape[-3:]), arch="resnet50"
+    )
+    want = np.asarray(quant_feature_apply(
+        qvars, x, arch="resnet50", dtype=jnp.float32
+    ), dtype=np.float64)
+    got = np.asarray(quant_feature_apply(
+        qvars, x, arch="resnet50", dtype=jnp.float32,
+        fused_stages=(1,), fused_group=2,
+    ), dtype=np.float64)
+    scale = float(np.max(np.abs(want)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3 * scale)
+    cos = (got * want).sum(-1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
+    )
+    assert cos.min() >= 0.999999, cos
