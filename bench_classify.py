@@ -23,7 +23,9 @@ at whatever host serves it; set tpu for the tunneled chip),
 EOV_CLASSIFY_REPEATS (default 5), EOV_CLASSIFY_ARCH (default resnet50),
 EOV_CLASSIFY_FRAMES (default 32), EOV_CLASSIFY_HW (default 256x340),
 EOV_CLASSIFY_CLASSES (default 101), EOV_CLASSIFY_SHOTS (default 5),
-EOV_CLASSIFY_QUERIES (default 16), EOV_CLASSIFY_BATCH (default 8).
+EOV_CLASSIFY_QUERIES (default 16), EOV_CLASSIFY_BATCH (default 8),
+EOV_CLASSIFY_QUANT (unset | int8 — featurize queries through the int8
+path, i.e. `eov classify --quant int8` against an int8 store).
 """
 
 from __future__ import annotations
@@ -59,10 +61,11 @@ def main() -> None:
     repeats = int(os.environ.get("EOV_CLASSIFY_REPEATS", "5"))
     ecfg = get_preset("episode_cpu").extract
     arch = os.environ.get("EOV_CLASSIFY_ARCH", ecfg.arch)
-    if arch != ecfg.arch:
+    quant = os.environ.get("EOV_CLASSIFY_QUANT") or None
+    if arch != ecfg.arch or quant:
         import dataclasses as _dc
 
-        ecfg = _dc.replace(ecfg, arch=arch)
+        ecfg = _dc.replace(ecfg, arch=arch, quant=quant)
     n_frames = int(os.environ.get("EOV_CLASSIFY_FRAMES", "32"))
     fh, _, fw = os.environ.get("EOV_CLASSIFY_HW", "256x340").partition("x")
     fh, fw = int(fh), int(fw)
@@ -156,6 +159,7 @@ def main() -> None:
             "frames_per_query": ecfg.num_segments,
             "frame_hw": [fh, fw],
             "warmup_s": round(warm_s, 2),
+            "quant": quant,
             "params": "random-init (latency is weight-value-independent)",
         },
     }))
