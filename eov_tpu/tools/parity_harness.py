@@ -16,8 +16,13 @@ per-clip feature agreement plus the episode-accuracy delta against the 0.5%
 budget. Without --params/--root it self-checks on synthetic fixtures with
 shared random weights (the always-runnable mode in this environment).
 
+``--quant int8`` runs pipeline B through the post-training int8 deployment
+path (models/quant_infer.py, `extract --quant int8`) instead of the float
+forward, so the int8 accuracy claim is turnkey against the torch reference
+the moment real weights/data arrive — same one command, same report.
+
 Run: python -m eov_tpu.tools.parity_harness [--params resnet50.pth]
-         [--root FRAMES --split list.txt] [--n-episodes 600]
+         [--root FRAMES --split list.txt] [--n-episodes 600] [--quant int8]
 """
 
 from __future__ import annotations
@@ -72,15 +77,17 @@ def _torch_features(sd, clips_u8, scale, crop) -> np.ndarray:
     return np.stack(feats)
 
 
-def _eov_features(variables, clips_u8, scale, crop, dtype) -> np.ndarray:
-    """Pipeline B: the fused eov_tpu program (preprocess+backbone+consensus)."""
+def _eov_features(variables, clips_u8, scale, crop, dtype,
+                  quant=None) -> np.ndarray:
+    """Pipeline B: the fused eov_tpu program (preprocess+backbone+consensus),
+    or its int8 deployment variant when ``quant='int8'``."""
     import jax.numpy as jnp
 
     from eov_tpu.extract import ExtractConfig, make_feature_fn
 
     cfg = ExtractConfig(
         num_segments=clips_u8.shape[1], scale_size=scale, crop_size=crop,
-        compute_dtype=dtype,
+        compute_dtype=dtype, quant=quant,
     )
     fn = make_feature_fn(variables, cfg)
     return np.asarray(fn(jnp.asarray(clips_u8)))
@@ -141,8 +148,12 @@ def run(args) -> dict:
         labels.append(rec.label)
     clips = np.stack(clips)
 
+    quant = getattr(args, "quant", None)
+    if quant == "off":
+        quant = None
     fa = _torch_features(sd, clips, args.scale, args.crop)
-    fb = _eov_features(variables, clips, args.scale, args.crop, args.dtype)
+    fb = _eov_features(variables, clips, args.scale, args.crop, args.dtype,
+                       quant=quant)
 
     na = fa / np.linalg.norm(fa, axis=1, keepdims=True)
     nb = fb / np.linalg.norm(fb, axis=1, keepdims=True)
@@ -178,6 +189,7 @@ def run(args) -> dict:
         "budget": 0.005,
         "within_budget": abs(ra.mean_acc - rb.mean_acc) <= 0.005,
         "mode": "real" if args.params else "self_check_random_weights",
+        "quant": quant,
     }
     return report
 
@@ -196,6 +208,11 @@ def main(argv=None) -> int:
     ap.add_argument("--dtype", default="float32",
                     help="eov_tpu compute dtype (float32 for parity runs, "
                          "bfloat16 to measure the production-path delta)")
+    ap.add_argument("--quant", default=None, choices=("off", "int8"),
+                    help="run pipeline B through the post-training int8 "
+                         "deployment path (extract --quant int8) so its "
+                         "accuracy delta vs the torch reference is measured "
+                         "by the same harness")
     ap.add_argument("--n-episodes", type=int, default=600)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)

@@ -27,3 +27,20 @@ def test_parity_harness_self_check_small():
     # Identical seeded episodes over both tables: zero accuracy delta.
     assert report["within_budget"]
     assert report["acc_delta_abs"] <= 0.005
+
+
+def test_parity_harness_quant_mode():
+    """--quant int8 routes pipeline B through the deployment int8 path and
+    reports against the SAME torch reference (the turnkey packaging of the
+    int8 accuracy claim — r5). Quantization is lossy, so the rails are the
+    quant ones (tests/test_quant_infer.py), not the float zero-delta."""
+    args = argparse.Namespace(
+        params=None, root=None, split=None,
+        classes=4, clips_per_class=2, num_segments=2,
+        scale=128, crop=112, dtype="float32", n_episodes=50, seed=0,
+        quant="int8",
+    )
+    report = ph.run(args)
+    assert report["quant"] == "int8"
+    assert report["feature_cosine_min"] > 0.99
+    assert report["acc_delta_abs"] <= 0.02
