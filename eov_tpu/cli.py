@@ -254,8 +254,6 @@ def cmd_extract(args) -> int:
     preset = get_preset(args.preset)
     dataset = _load_dataset(args)
     params = _load_params(args, preset.extract.compute_dtype)
-    store = FeatureStore(args.store, class_names=list(dataset.class_names),
-                         dtype=getattr(args, "store_dtype", None))
     metrics = MetricsWriter(args.metrics)
 
     cfg, feature_fn, records, mesh = preset.extract, None, None, None
@@ -321,6 +319,16 @@ def cmd_extract(args) -> int:
         )
         records = dist.process_record_shard(dataset.records)
 
+    # The store is created AFTER the flag surface resolves so it records
+    # the run's extraction-precision provenance (and refuses appending a
+    # different precision into an existing store — data/store.py).
+    try:
+        store = FeatureStore(
+            args.store, class_names=list(dataset.class_names),
+            dtype=getattr(args, "store_dtype", None), quant=cfg.quant,
+        )
+    except ValueError as e:
+        raise SystemExit(str(e))
     metrics.write("config", command="extract", config=resolved_dict(cfg),
                   multichip=bool(args.multichip))
     stats = extract_features(
@@ -368,6 +376,18 @@ def cmd_eval(args) -> int:
         if not args.virtual_store:
             raise SystemExit("--virtual-store required for embodied eval")
         vstore = FeatureStore(args.virtual_store)
+        # Embodied fusion compares real and virtual features in ONE
+        # similarity space: a recorded extraction-precision mismatch
+        # between the banks skews the union scoring — refuse (stores
+        # without provenance stay warn-free here: nothing to check).
+        rq, rk = store.recorded_quant()
+        vq, vk = vstore.recorded_quant()
+        if rk and vk and rq != vq:
+            raise SystemExit(
+                f"embodied eval mixes precisions: --store was extracted "
+                f"with quant={rq or 'off'} but --virtual-store with "
+                f"quant={vq or 'off'}; re-extract one bank so both match"
+            )
         virtual = align_virtual_bank(
             store.class_names, vstore.class_names, vstore.to_table()
         )
@@ -459,6 +479,28 @@ def cmd_classify(args) -> int:
     if args.embodied and not args.virtual_store:
         raise SystemExit("--virtual-store required for --embodied")
     vstore = FeatureStore(args.virtual_store) if args.embodied else None
+    # Precision-provenance guard: matching int8-extracted support features
+    # against bf16 query features (or vice versa) silently skews every
+    # similarity — refuse a recorded mismatch, warn when the store predates
+    # provenance (pre-r5 / imported caches record no 'quant').
+    for s, role in [(store, "support"), (vstore, "virtual")]:
+        if s is None:
+            continue
+        rq, rq_known = s.recorded_quant()
+        if rq_known and rq != cfg.quant:
+            raise SystemExit(
+                f"{role} store {s.root} was extracted with "
+                f"quant={rq or 'off'} but queries would be featurized with "
+                f"quant={cfg.quant or 'off'}; pass --quant {rq or 'off'} "
+                "or re-extract the store at the query precision"
+            )
+        if not rq_known and cfg.quant:
+            print(
+                f"warning: {role} store {s.root} records no extraction "
+                "precision (pre-provenance or imported store); cannot "
+                f"verify it matches --quant {cfg.quant}",
+                file=sys.stderr,
+            )
     try:
         feats, mask = union_support(
             table, class_names,

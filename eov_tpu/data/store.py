@@ -64,13 +64,25 @@ class FeatureStore:
     asserted by ``tests/test_eval_store.py``). ``None`` inherits the
     store's existing dtype (or float32 for a fresh store); an explicit
     dtype that contradicts an existing store raises.
+
+    ``quant`` is extraction-precision PROVENANCE (r5): a writer that knows
+    how its features were computed declares it (``None`` = the bf16/f32
+    production forward, ``"int8"`` = `extract --quant int8`), the manifest
+    records it, and a later declaration that contradicts the store raises —
+    mixing precisions in one store is exactly the silent accuracy skew the
+    classify surface refuses (cli.cmd_classify). Omit the argument
+    (read-only opens, importers of foreign caches) and the store stays
+    agnostic: ``recorded_quant()`` then reports unknown for pre-r5 and
+    imported stores, which downstream surfaces treat as warn-not-refuse.
     """
 
     _DTYPES = ("float32", "float16")
+    _QUANT_UNSET = object()  # "caller made no provenance claim" sentinel
 
     def __init__(self, root: str, class_names: Sequence[str] | None = None,
                  process_index: int | None = None,
-                 dtype: str | None = None):
+                 dtype: str | None = None,
+                 quant: str | None | object = _QUANT_UNSET):
         self.root = root
         os.makedirs(root, exist_ok=True)
         if process_index is None:
@@ -104,6 +116,22 @@ class FeatureStore:
             )
         self.dtype = np.dtype(str(dtype) if dtype else (prior or "float32"))
         self._manifest["dtype"] = self.dtype.name
+        prior_q, prior_known = self._merged_quant()
+        if quant is not self._QUANT_UNSET:
+            qv = None if quant in (None, "off") else str(quant)
+            if prior_known and prior_q != qv:
+                raise ValueError(
+                    f"store at {root} holds features extracted with "
+                    f"quant={prior_q or 'off'}; refusing to append "
+                    f"quant={qv or 'off'} features (one extraction "
+                    "precision per store — re-extract into a fresh --store)"
+                )
+            self._manifest["quant"] = qv
+        elif prior_known:
+            # Inherit the store's declared provenance into this writer's
+            # manifest so multi-writer reads agree without every writer
+            # re-declaring.
+            self._manifest["quant"] = prior_q
         self._pending: dict[str, tuple[np.ndarray, int]] = {}
         self._shard_count = len(
             glob.glob(os.path.join(root, f"shard_p{self.process_index:03d}_*"))
@@ -184,6 +212,31 @@ class FeatureStore:
                 dt = d
         return dt
 
+    def _merged_quant(self) -> tuple[str | None, bool]:
+        """(declared extraction precision, any writer declared one).
+
+        ``(None, True)`` = declared bf16/f32 production forward;
+        ``("int8", True)`` = declared int8; ``(None, False)`` = no writer
+        ever declared (pre-r5 store or imported foreign cache) — callers
+        treat unknown as warn-not-refuse.
+        """
+        q: str | None = None
+        known = False
+        for m in self._all_manifests():
+            if "quant" not in m:
+                continue
+            v = m["quant"]
+            if known and v != q:
+                raise ValueError(
+                    f"writers disagree on extraction quant in {self.root}"
+                )
+            q, known = v, True
+        return q, known
+
+    def recorded_quant(self) -> tuple[str | None, bool]:
+        """Public read of the store's extraction-precision provenance."""
+        return self._merged_quant()
+
     def _merged_videos(self) -> dict[str, dict]:
         videos: dict[str, dict] = {}
         for m in self._all_manifests():
@@ -244,12 +297,14 @@ class FeatureStore:
             vid = next(iter(videos))
             with np.load(os.path.join(self.root, videos[vid]["shard"])) as z:
                 dim = int(z[vid].shape[-1])
+        q, q_known = self._merged_quant()
         return {
             "store": self.root,
             "clips": len(videos),
             "classes": n_classes,
             "feature_dim": dim,
             "dtype": self.dtype.name,
+            "quant": (q or "off") if q_known else "unknown",
             "shards": len(shards),
             "writers": len(manifests) or 1,
             "bytes": int(sum(os.path.getsize(p) for p in shards)),

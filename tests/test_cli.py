@@ -212,3 +212,97 @@ def test_cli_extract_quant_int8(tmp_path, capsys):
             "--multichip",
         ])
     capsys.readouterr()
+
+
+def test_cli_quant_provenance_guard(tmp_path, capsys):
+    """r5 precision provenance: extract records the store's quant in the
+    manifest; classify refuses a recorded mismatch with the fix named and
+    accepts the matching flag; appending the other precision into the same
+    store refuses; store-info reports the field."""
+    store = str(tmp_path / "q8")
+    _run(capsys, [
+        "extract", "--platform", "cpu", "--preset", "synthetic_smoke",
+        "--dataset", "synthetic", "--synthetic-classes", "3",
+        "--synthetic-clips", "2", "--arch", "resnet18",
+        "--store", store, "--quant", "int8",
+    ])
+    out = _run(capsys, ["store-info", "--store", store])
+    assert json.loads(out.strip())["quant"] == "int8"
+
+    # Default (bf16) query featurization against the int8 store: refuse.
+    with pytest.raises(SystemExit, match="--quant int8"):
+        cli.main([
+            "classify", "--platform", "cpu", "--preset", "synthetic_smoke",
+            "--dataset", "synthetic", "--synthetic-classes", "3",
+            "--synthetic-clips", "1", "--arch", "resnet18",
+            "--store", store,
+        ])
+    capsys.readouterr()
+
+    # Matching precision runs to completion (same synthetic geometry).
+    out = _run(capsys, [
+        "classify", "--platform", "cpu", "--preset", "synthetic_smoke",
+        "--dataset", "synthetic", "--synthetic-classes", "3",
+        "--synthetic-clips", "1", "--arch", "resnet18",
+        "--store", store, "--quant", "int8",
+    ])
+    assert "pred_class" in out
+
+    # Appending bf16 features into the int8 store refuses at store open.
+    with pytest.raises(SystemExit, match="one extraction precision"):
+        cli.main([
+            "extract", "--platform", "cpu", "--preset", "synthetic_smoke",
+            "--dataset", "synthetic", "--synthetic-classes", "3",
+            "--synthetic-clips", "2", "--arch", "resnet18",
+            "--store", store,
+        ])
+    capsys.readouterr()
+
+
+def test_cli_quant_provenance_unknown_store_warns(tmp_path, capsys):
+    """A store without recorded provenance (pre-r5 / imported) must stay
+    usable: classify --quant int8 against it WARNS instead of refusing."""
+    import os
+
+    store = str(tmp_path / "legacy")
+    _run(capsys, [
+        "extract", "--platform", "cpu", "--preset", "synthetic_smoke",
+        "--dataset", "synthetic", "--synthetic-classes", "3",
+        "--synthetic-clips", "2", "--arch", "resnet18",
+        "--store", store,
+    ])
+    # Strip the provenance field to simulate a pre-r5 manifest.
+    mpath = os.path.join(store, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["quant"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    rc = cli.main([
+        "classify", "--platform", "cpu", "--preset", "synthetic_smoke",
+        "--dataset", "synthetic", "--synthetic-classes", "3",
+        "--synthetic-clips", "1", "--arch", "resnet18",
+        "--store", store, "--quant", "int8",
+    ])
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert "records no extraction precision" in captured.err
+
+
+def test_cli_embodied_eval_quant_mismatch_refuses(tmp_path, capsys):
+    """Embodied eval fuses real+virtual banks in one similarity space; a
+    recorded precision mismatch between the two stores refuses."""
+    kw = ["--platform", "cpu", "--preset", "synthetic_smoke",
+          "--dataset", "synthetic", "--synthetic-classes", "3",
+          "--synthetic-clips", "2", "--arch", "resnet18"]
+    real, virt = str(tmp_path / "real"), str(tmp_path / "virt")
+    _run(capsys, ["extract", *kw, "--store", real])
+    _run(capsys, ["extract", *kw, "--store", virt, "--quant", "int8"])
+    with pytest.raises(SystemExit, match="mixes precisions"):
+        cli.main([
+            "eval", "--platform", "cpu", "--preset", "synthetic_smoke",
+            "--store", real, "--embodied", "--virtual-store", virt,
+            "--n-episodes", "8",
+        ])
+    capsys.readouterr()

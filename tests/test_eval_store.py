@@ -733,3 +733,43 @@ def test_buffer_ring_concurrent_take_put_invariants():
     finally:
         for s in shapes:
             extract._HOST_BUFS.pop(s, None)
+
+
+def test_store_quant_provenance_semantics(tmp_path):
+    """r5 precision provenance (data/store.py): declared quant round-trips
+    through the manifest, a silent reader inherits it, an agnostic open
+    stays unknown, and a contradicting declaration refuses."""
+    from eov_tpu.data.store import FeatureStore
+
+    root = str(tmp_path / "q")
+    s = FeatureStore(root, class_names=["a"], process_index=0, quant="int8")
+    s.put("v0", np.ones(4, np.float32), 0)
+    s.flush()
+    assert s.recorded_quant() == ("int8", True)
+
+    # Agnostic re-open (read side, importers): provenance visible, inherited.
+    r = FeatureStore(root, process_index=0)
+    assert r.recorded_quant() == ("int8", True)
+    assert r.summary()["quant"] == "int8"
+
+    # Contradicting declaration refuses; 'off'/None both mean the float path.
+    import pytest
+
+    with pytest.raises(ValueError, match="one extraction precision"):
+        FeatureStore(root, process_index=0, quant=None)
+    with pytest.raises(ValueError, match="one extraction precision"):
+        FeatureStore(root, process_index=0, quant="off")
+
+    # A store that never declared stays unknown and reports it.
+    root2 = str(tmp_path / "u")
+    u = FeatureStore(root2, class_names=["a"], process_index=0)
+    u.put("v0", np.ones(4, np.float32), 0)
+    u.flush()
+    assert u.recorded_quant() == (None, False)
+    assert u.summary()["quant"] == "unknown"
+
+    # Declaring the float path is distinct from unknown.
+    root3 = str(tmp_path / "f")
+    f = FeatureStore(root3, class_names=["a"], process_index=0, quant=None)
+    assert f.recorded_quant() == (None, True)
+    assert f.summary()["quant"] == "off"

@@ -452,6 +452,7 @@ def test_quant_int8_forward_on_hardware(tpu_backend):
     assert cos.min() >= 0.99, cos
 
 
+@requires_tpu
 def test_quant_int8_fused_stage1_on_hardware(tpu_backend):
     """The int8 fused stage-1 stack (ops/pallas_bottleneck_int8.py)
     compiles through Mosaic ON HARDWARE (interpret mode proves nothing —
