@@ -19,7 +19,8 @@ Support features are random-normal (score values don't change the work);
 the table is UCF101-shaped by default: 101 classes x 5 members.
 
 Env knobs: EOV_CLASSIFY_PLATFORM (default cpu — a deployment query arrives
-at whatever host serves it; set tpu for the tunneled chip),
+at whatever host serves it; set the chip's jax platform name for device
+runs: 'axon' on this tunneled box, 'tpu' on a standard TPU host),
 EOV_CLASSIFY_REPEATS (default 5), EOV_CLASSIFY_ARCH (default resnet50),
 EOV_CLASSIFY_FRAMES (default 32), EOV_CLASSIFY_HW (default 256x340),
 EOV_CLASSIFY_CLASSES (default 101), EOV_CLASSIFY_SHOTS (default 5),
@@ -61,7 +62,15 @@ def main() -> None:
     repeats = int(os.environ.get("EOV_CLASSIFY_REPEATS", "5"))
     ecfg = get_preset("episode_cpu").extract
     arch = os.environ.get("EOV_CLASSIFY_ARCH", ecfg.arch)
-    quant = os.environ.get("EOV_CLASSIFY_QUANT") or None
+    quant_env = os.environ.get("EOV_CLASSIFY_QUANT", "0")
+    if quant_env not in ("", "0", "off", "int8"):
+        # Same refusal contract as bench.py's EOV_BENCH_QUANT: fail before
+        # any model init/compile, and accept the sibling's '0' spelling.
+        raise SystemExit(
+            f"EOV_CLASSIFY_QUANT={quant_env!r}: accepted forms are "
+            "0/off (bf16 production path) and int8"
+        )
+    quant = "int8" if quant_env == "int8" else None
     if arch != ecfg.arch or quant:
         import dataclasses as _dc
 

@@ -289,6 +289,12 @@ def cmd_extract(args) -> int:
         cfg = _dc.replace(
             cfg, quant=None if args.quant == "off" else args.quant
         )
+    if getattr(args, "quant_calib", None) is not None:
+        if not cfg.quant:
+            raise SystemExit(
+                "--quant-calib only applies with --quant int8"
+            )
+        cfg = _dc.replace(cfg, quant_calib=args.quant_calib)
     if args.multichip:
         if cfg.quant:
             # The sharded featurizer (parallel/sharded.py) builds its own
@@ -329,11 +335,24 @@ def cmd_extract(args) -> int:
         )
     except ValueError as e:
         raise SystemExit(str(e))
+    act_max = None
+    if cfg.quant:
+        # Compute the int8 calibration scales ONCE (synthetic fixtures, or
+        # the dataset's own clips under --quant-calib dataset) and record
+        # them in the manifest: classify reads them back so its query
+        # featurization is the exact program that produced this store.
+        from eov_tpu.extract import quant_calibration
+
+        act_max = quant_calibration(
+            params, cfg,
+            dataset if cfg.quant_calib == "dataset" else None,
+        )
+        store.set_quant_calib(act_max)
     metrics.write("config", command="extract", config=resolved_dict(cfg),
                   multichip=bool(args.multichip))
     stats = extract_features(
         dataset, params, store, cfg, metrics,
-        feature_fn=feature_fn, records=records, mesh=mesh,
+        feature_fn=feature_fn, records=records, mesh=mesh, act_max=act_max,
     )
     print(json.dumps(stats))
     return 0
@@ -517,7 +536,12 @@ def cmd_classify(args) -> int:
     params = _load_params(args, cfg.compute_dtype)
     dataset = _load_dataset(args)
     qstore = MemoryFeatureStore(class_names=list(dataset.class_names))
-    stats = extract_features(dataset, params, qstore, cfg)
+    # Under --quant, featurize queries with the SUPPORT store's recorded
+    # calibration scales (the exact quantized program that produced it);
+    # pre-scales int8 stores fall back to the synthetic calibration they
+    # were built with (act_max=None).
+    act_max = store.quant_calib() if cfg.quant else None
+    stats = extract_features(dataset, params, qstore, cfg, act_max=act_max)
     qfeats = qstore.load_all()  # video_id -> (feature, label)
     if not qfeats:
         raise SystemExit("no query clips could be featurized")
@@ -1058,6 +1082,16 @@ def main(argv=None) -> int:
                        "production path (default), 'int8' = int8 MXU convs "
                        "(models/quant_infer.py; accuracy bound per-store "
                        "with eval --per-episode-out + tools/compare_eval)",
+           },
+           "--quant-calib": {
+               "dest": "quant_calib", "default": None,
+               "choices": ("synthetic", "dataset"),
+               "help": "int8 activation-scale calibration source: "
+                       "'synthetic' (deterministic fixtures, default) or "
+                       "'dataset' (this extraction's first clips — "
+                       "real-frame deployment calibration). The scales are "
+                       "recorded in the store manifest either way; "
+                       "classify reuses them",
            }})
     add(
         "eval", cmd_eval,

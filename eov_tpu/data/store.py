@@ -126,7 +126,26 @@ class FeatureStore:
                     f"quant={qv or 'off'} features (one extraction "
                     "precision per store — re-extract into a fresh --store)"
                 )
-            self._manifest["quant"] = qv
+            if not prior_known and self._merged_videos():
+                # Stamping a precision onto clips of UNKNOWN provenance
+                # would silently relabel them: recorded_quant() would then
+                # vouch for features this writer never produced, and the
+                # classify guard would start refusing the correct precision
+                # for the pre-existing clips. The store stays UNKNOWN
+                # (classify keeps warning instead of vouching) — resume of
+                # pre-provenance stores still works, provenance only ever
+                # describes stores born with it.
+                import logging
+
+                logging.getLogger("eov.store").warning(
+                    "store %s already holds %d clips of unknown extraction "
+                    "precision; the quant=%s declaration is NOT recorded "
+                    "(provenance cannot vouch retroactively) — extract "
+                    "into a fresh --store to get a provenance-checked one",
+                    root, len(self._merged_videos()), qv or "off",
+                )
+            else:
+                self._manifest["quant"] = qv
         elif prior_known:
             # Inherit the store's declared provenance into this writer's
             # manifest so multi-writer reads agree without every writer
@@ -236,6 +255,32 @@ class FeatureStore:
     def recorded_quant(self) -> tuple[str | None, bool]:
         """Public read of the store's extraction-precision provenance."""
         return self._merged_quant()
+
+    def set_quant_calib(self, act_max: dict) -> None:
+        """Record the int8 calibration scales this store's features were
+        extracted with ({conv_site: float} — extract.quant_calibration).
+        Written to the manifest immediately so a query run can reproduce
+        the exact quantized program (classify reads it back)."""
+        self._manifest["quant_calib"] = {
+            str(k): float(v) for k, v in act_max.items()
+        }
+        self._write_manifest()
+
+    def quant_calib(self) -> dict | None:
+        """The recorded int8 calibration scales, or None (pre-scales int8
+        stores fall back to the synthetic calibration they were built
+        with). Writers must agree."""
+        calib: dict | None = None
+        for m in self._all_manifests():
+            c = m.get("quant_calib")
+            if c is None:
+                continue
+            if calib is not None and c != calib:
+                raise ValueError(
+                    f"writers disagree on quant_calib in {self.root}"
+                )
+            calib = c
+        return calib
 
     def _merged_videos(self) -> dict[str, dict]:
         videos: dict[str, dict] = {}

@@ -92,8 +92,18 @@ class ExtractConfig:
                                    # (models/quant_infer.py) — opt-in, and
                                    # accuracy-bounded per run by the paired
                                    # rails (tests/test_quant_infer.py)
-    quant_calib_clips: int = 8     # calibration clips (synthetic fixtures)
-                                   # for the int8 activation scales
+    quant_calib_clips: int = 8     # calibration clips for the int8
+                                   # activation scales
+    quant_calib: str = "synthetic"  # "synthetic" (deterministic fixtures —
+                                    # reproducible anywhere) | "dataset"
+                                    # (first quant_calib_clips clips of the
+                                    # extraction dataset — real-frame
+                                    # deployment calibration). Either way
+                                    # the computed scales are recorded in
+                                    # the store manifest so classify
+                                    # featurizes queries with the SAME
+                                    # quantized program (quant_calibration/
+                                    # FeatureStore.set_quant_calib).
 
 
 def resolve_fused_stages(
@@ -163,13 +173,90 @@ def _put_buf(buf: np.ndarray) -> None:
 
 
 
-def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
+def _synthetic_act_max(folded_params, cfg: ExtractConfig) -> dict:
+    """Calibrate int8 activation maxima on the deterministic synthetic
+    fixtures (the always-available mode; identical scales for identical
+    cfg in any environment)."""
+    from eov_tpu.models.quant_infer import (
+        calibrate_act_max, synthetic_calib_frames,
+    )
+
+    calib_u8 = synthetic_calib_frames(
+        cfg.quant_calib_clips, cfg.num_segments,
+        cfg.scale_size, cfg.scale_size,
+    )
+    calib_x = preprocess.preprocess_eval(
+        jnp.asarray(calib_u8), scale_size=cfg.scale_size,
+        crop_size=cfg.crop_size, dtype=jnp.float32,
+    )
+    return calibrate_act_max(folded_params, calib_x, arch=cfg.arch)
+
+
+def quant_calibration(params, cfg: ExtractConfig, dataset=None) -> dict:
+    """Per-conv-site int8 activation maxima as plain floats — the
+    JSON-storable calibration provenance a FeatureStore records at extract
+    time (``store.set_quant_calib``) so query runs reproduce the store's
+    exact quantized program.
+
+    ``cfg.quant_calib`` selects the source: ``"synthetic"`` (default —
+    deterministic fixtures) or ``"dataset"`` (the first
+    ``cfg.quant_calib_clips`` clips of ``dataset``, center-sampled and
+    preprocessed exactly as extraction would — real-frame deployment
+    calibration; synthetic gratings can undershoot real activation maxima
+    and clip them at ±127·a_scale).
+    """
+    if cfg.quant_calib not in ("synthetic", "dataset"):
+        raise ValueError(
+            f"quant_calib={cfg.quant_calib!r}: expected 'synthetic' or "
+            "'dataset'"
+        )
+    if not (cfg.fold_bn and "batch_stats" in params):
+        raise ValueError(
+            "quant calibration runs over the FOLDED forward: it needs "
+            "fold_bn=True and raw params with batch_stats"
+        )
+    from eov_tpu.models.resnet import fold_batchnorm
+
+    folded = fold_batchnorm(params)
+    if cfg.quant_calib == "dataset":
+        if dataset is None:
+            raise ValueError(
+                "quant_calib='dataset' needs the extraction dataset"
+            )
+        from eov_tpu.models.quant_infer import calibrate_act_max
+
+        recs = list(dataset.records)[: cfg.quant_calib_clips]
+        if not recs:
+            raise ValueError("quant_calib='dataset': dataset has no records")
+        xs = []
+        for rec in recs:
+            idx = _center_indices_np(rec.num_frames, cfg.num_segments)
+            clip = dataset.get_frames(rec, idx)  # [K, h, w, 3] uint8
+            xs.append(preprocess.preprocess_eval(
+                jnp.asarray(clip)[None], scale_size=cfg.scale_size,
+                crop_size=cfg.crop_size, dtype=jnp.float32,
+            )[0])
+        act = calibrate_act_max(folded, jnp.stack(xs), arch=cfg.arch)
+    else:
+        act = _synthetic_act_max(folded, cfg)
+    return {k: float(v) for k, v in act.items()}
+
+
+def make_feature_fn(params, cfg: ExtractConfig,
+                    act_max: dict | None = None) -> Callable:
     """jitted: uint8 frames [B, K, H, W, 3] -> clip features [B, D].
 
     Fuses preprocess (resize-matmul + crop + normalize), the ResNet-50
     forward, and TSN mean consensus (C5) into one XLA program. Distinct
     input resolutions trigger one recompile each (shapes are static); frame
     storage should be resolution-normalized for production throughput.
+
+    ``act_max`` (quant runs only): pre-computed per-conv-site activation
+    maxima — pass :func:`quant_calibration`'s output, or the scales a
+    FeatureStore recorded at extract time (``store.quant_calib()``), so a
+    query run reproduces the exact quantized program that produced the
+    store. ``None`` calibrates on synthetic fixtures here (the default
+    behavior, identical scales for identical cfg).
     """
     dtype = jnp.dtype(cfg.compute_dtype)
     folded = cfg.fold_bn and "batch_stats" in params
@@ -266,19 +353,19 @@ def make_feature_fn(params, cfg: ExtractConfig) -> Callable:
                     "quant='int8' fused stage-1 is implemented for "
                     f"bottleneck archs only (arch={cfg.arch!r})"
                 )
-        from eov_tpu.models.quant_infer import (
-            calibrate_and_quantize, synthetic_calib_frames,
-        )
+        from eov_tpu.models.quant_infer import quantize_variables
 
-        calib_u8 = synthetic_calib_frames(
-            cfg.quant_calib_clips, cfg.num_segments,
-            cfg.scale_size, cfg.scale_size,
-        )
-        calib_x = preprocess.preprocess_eval(
-            jnp.asarray(calib_u8), scale_size=cfg.scale_size,
-            crop_size=cfg.crop_size, dtype=jnp.float32,
-        )
-        qvars = calibrate_and_quantize(params, calib_x, arch=cfg.arch)
+        if act_max is None:
+            act_max = _synthetic_act_max(params, cfg)
+        try:
+            qvars = quantize_variables(params, act_max)
+        except KeyError as e:
+            raise ValueError(
+                f"calibration scales are missing conv site {e.args[0]!r} — "
+                "were they computed for a different --arch than "
+                f"{cfg.arch!r}? Recompute with extract.quant_calibration "
+                "or drop act_max to recalibrate"
+            )
 
     @jax.jit
     def feature_fn(frames_u8: jax.Array) -> jax.Array:
@@ -336,6 +423,7 @@ def extract_features(
     feature_fn: Callable | None = None,
     records: Sequence[VideoRecord] | None = None,
     mesh=None,
+    act_max: dict | None = None,
 ) -> dict:
     """Run extraction over all records not yet in the store. Returns stats.
 
@@ -352,7 +440,10 @@ def extract_features(
     store namespace (FeatureStore is multi-writer safe by shard prefix).
     """
     metrics = metrics or MetricsWriter(None)
-    feature_fn = feature_fn or make_feature_fn(params, cfg)
+    # act_max: recorded int8 calibration scales (see make_feature_fn) —
+    # classify passes the SUPPORT store's scales so query featurization
+    # reproduces the exact program that produced the store.
+    feature_fn = feature_fn or make_feature_fn(params, cfg, act_max=act_max)
     done = store.done_ids()
     work = dataset.records if records is None else records
     todo = [r for r in work if r.video_id not in done]

@@ -45,15 +45,6 @@ __all__ = [
     "synthetic_calib_frames",
 ]
 
-# Conv module -> its FoldedBias partner inside one block (models/resnet.py).
-_BIAS_OF = {
-    "conv1": "bn1",
-    "conv2": "bn2",
-    "conv3": "bn3",
-    "downsample_conv": "downsample_bn",
-}
-
-
 def _site_module(p, site: str):
     m = p
     for part in site.split("/"):

@@ -75,12 +75,12 @@ def export_store(store_root: str, out: str, *, fmt: str = "tree") -> dict:
                     "so the exported tree keeps every clip"
                 )
             written[fname] = vid
-        for vid in sorted(data):
-            feat, label = data[vid]
-            d = os.path.join(out, names[label])
-            os.makedirs(d, exist_ok=True)
-            np.save(os.path.join(d, vid.replace("/", "_") + ".npy"),
-                    feat.astype(np.float32, copy=False))
+        # The pre-check above raises before ANY write, so writing from its
+        # map keeps the mangling rule in exactly one place.
+        for fname, vid in written.items():
+            path = os.path.join(out, fname + ".npy")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            np.save(path, data[vid][0].astype(np.float32, copy=False))
     else:
         base = out[:-4] if out.endswith(".npz") else out
         np.savez(

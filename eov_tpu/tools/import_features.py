@@ -255,7 +255,15 @@ def import_cache(
                     "[N, D] arrays per class"
                 )
             for vid in d:
-                items.append((str(vid), np.asarray(d[vid]), None))
+                # Normalize keys the same way split-line ids are normalized
+                # (_basename_id): reference caches are frequently keyed by
+                # the source filename ('Class/v_x.avi'), while the split
+                # side has already been stripped to 'v_x' — without this,
+                # every such key fails to match its own split line. The
+                # duplicate-id refusal below catches any collision this
+                # stripping could introduce.
+                items.append((_basename_id(str(vid)), np.asarray(d[vid]),
+                              None))
 
     # Resolve labels.
     tree_classes = sorted({c for _, _, c in items if c is not None})

@@ -306,3 +306,41 @@ def test_cli_embodied_eval_quant_mismatch_refuses(tmp_path, capsys):
             "--n-episodes", "8",
         ])
     capsys.readouterr()
+
+
+def test_cli_quant_calib_dataset_records_scales(tmp_path, capsys):
+    """--quant-calib dataset calibrates on the extraction clips, records
+    the scales in the manifest, and classify --quant int8 reuses them
+    (r5 review: the store's quantized program is reproducible provenance,
+    not a per-run recalibration)."""
+    import os
+
+    store = str(tmp_path / "q8ds")
+    _run(capsys, [
+        "extract", "--platform", "cpu", "--preset", "synthetic_smoke",
+        "--dataset", "synthetic", "--synthetic-classes", "3",
+        "--synthetic-clips", "2", "--arch", "resnet18",
+        "--store", store, "--quant", "int8", "--quant-calib", "dataset",
+    ])
+    with open(os.path.join(store, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["quant"] == "int8"
+    assert m["quant_calib"] and all(
+        isinstance(v, float) for v in m["quant_calib"].values()
+    )
+    out = _run(capsys, [
+        "classify", "--platform", "cpu", "--preset", "synthetic_smoke",
+        "--dataset", "synthetic", "--synthetic-classes", "3",
+        "--synthetic-clips", "1", "--arch", "resnet18",
+        "--store", store, "--quant", "int8",
+    ])
+    assert "pred_class" in out
+
+    with pytest.raises(SystemExit, match="only applies with --quant"):
+        cli.main([
+            "extract", "--platform", "cpu", "--preset", "synthetic_smoke",
+            "--dataset", "synthetic", "--synthetic-classes", "3",
+            "--synthetic-clips", "2", "--arch", "resnet18",
+            "--store", str(tmp_path / "x"), "--quant-calib", "dataset",
+        ])
+    capsys.readouterr()

@@ -773,3 +773,28 @@ def test_store_quant_provenance_semantics(tmp_path):
     f = FeatureStore(root3, class_names=["a"], process_index=0, quant=None)
     assert f.recorded_quant() == (None, True)
     assert f.summary()["quant"] == "off"
+
+
+def test_store_quant_declaration_cannot_vouch_retroactively(tmp_path, caplog):
+    """Declaring a precision onto a NON-EMPTY unknown-provenance store
+    (pre-r5 / imported) must not stamp it: the pre-existing clips were not
+    produced by this writer, so the store stays unknown (classify keeps
+    warning) and a warning is logged — resume keeps working (r5 review)."""
+    import logging
+
+    from eov_tpu.data.store import FeatureStore
+
+    root = str(tmp_path / "legacy")
+    s = FeatureStore(root, class_names=["a"], process_index=0)
+    s.put("v0", np.ones(4, np.float32), 0)
+    s.flush()
+    assert s.recorded_quant() == (None, False)
+
+    with caplog.at_level(logging.WARNING, logger="eov.store"):
+        r = FeatureStore(root, process_index=0, quant="int8")
+    assert any("cannot vouch retroactively" in m for m in caplog.messages)
+    assert r.recorded_quant() == (None, False)  # still unknown
+    r.put("v1", np.ones(4, np.float32), 0)
+    r.flush()  # resume-style append still works
+    assert FeatureStore(root, process_index=0).recorded_quant() == (
+        None, False)

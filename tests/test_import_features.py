@@ -230,3 +230,30 @@ def test_cli_main_and_f16_roundtrip(tmp_path, capsys):
     rc = main(["--src", str(tmp_path / "nothere"),
                "--store", str(tmp_path / "s2")])
     assert rc == 2  # clean error path, no traceback
+
+
+def test_dict_keys_with_media_extensions_match_split(tmp_path):
+    """A dict cache keyed by source FILENAMES ('Class/v_x.avi') must match
+    the same split list a flat dir would (r5 review fix: keys are
+    normalized through _basename_id exactly like split-line ids — before,
+    every such key failed the split match)."""
+    by_vid = {f"Cls{ci}/v_{ci}_{i}.avi": _feat(ci, i)
+              for ci in range(2) for i in range(2)}
+    npz = tmp_path / "byvid.npz"
+    np.savez(str(npz), **by_vid)
+    split = tmp_path / "list.txt"
+    split.write_text("".join(
+        f"Cls{ci}/v_{ci}_{i}.avi 30 {ci}\n"
+        for ci in range(2) for i in range(2)))
+    summary = import_cache(str(npz), str(tmp_path / "s"), split=str(split))
+    assert summary["clips"] == 4 and summary["classes"] == 2
+    data = FeatureStore(str(tmp_path / "s"), process_index=0).load_all()
+    assert data["v_1_0"][1] == 1
+    # Normalization cannot silently merge: two keys stripping to one id
+    # hit the duplicate refusal, not last-wins.
+    np.savez(str(tmp_path / "dup.npz"),
+             **{"A/v_0.avi": _feat(0, 0), "B/v_0.mp4": _feat(1, 0)})
+    split.write_text("A/v_0.avi 30 0\nB/v_0.mp4 30 0\n")
+    with pytest.raises(ValueError, match="more than once"):
+        import_cache(str(tmp_path / "dup.npz"), str(tmp_path / "s2"),
+                     split=str(split))

@@ -205,3 +205,73 @@ def test_quant_fused_stage1_extract_wiring():
     # not bitwise. The paired episode-accuracy rail (same protocol as the
     # int8-vs-f32 one) is the deployment-level guarantee.
     assert _cosine(got, want).min() >= 0.9999
+
+
+def test_quant_calibration_scales_roundtrip_and_dataset_mode(params, tmp_path):
+    """r5 review fix: calibration scales are first-class provenance.
+    quant_calibration(synthetic) reproduces make_feature_fn's internal
+    scales bitwise through the float/JSON round trip; 'dataset' mode
+    calibrates on the target clips (different scales) and a query run
+    passing the STORE's recorded scales reproduces the store's features
+    bitwise — the classify contract."""
+    from eov_tpu import extract as ex
+    from eov_tpu.data.datasets import SyntheticVideoDataset
+    from eov_tpu.data.store import FeatureStore, MemoryFeatureStore
+
+    cfg = _cfg(quant="int8")
+    frames_u8 = _frames(n=2)
+
+    # Synthetic scales: explicit == internal, bitwise, incl. JSON floats.
+    act = ex.quant_calibration(params, cfg)
+    assert act and all(isinstance(v, float) for v in act.values())
+    import json as _json
+
+    act_json = _json.loads(_json.dumps(act))
+    a = np.asarray(make_feature_fn(params, cfg)(frames_u8))
+    b = np.asarray(make_feature_fn(params, cfg, act_max=act_json)(frames_u8))
+    np.testing.assert_array_equal(a, b)
+
+    # Dataset calibration: real-frame scales differ from synthetic ones.
+    ds = SyntheticVideoDataset(
+        n_classes=4, clips_per_class=2, height=64, width=80, seed=3,
+        name="qc",
+    )
+    dcfg = dataclasses.replace(cfg, quant_calib="dataset")
+    act_ds = ex.quant_calibration(params, dcfg, ds)
+    assert act_ds.keys() == act.keys()
+    assert any(abs(act_ds[k] - act[k]) > 1e-9 for k in act)
+    with pytest.raises(ValueError, match="needs the extraction dataset"):
+        ex.quant_calibration(params, dcfg, None)
+
+    # Store records the scales; a query run passing them reproduces the
+    # store's features bitwise (what classify does).
+    store = FeatureStore(str(tmp_path / "s"), class_names=ds.class_names,
+                         quant="int8")
+    store.set_quant_calib(act_ds)
+    extract.extract_features(ds, params, store, dcfg, act_max=act_ds)
+    got_back = FeatureStore(str(tmp_path / "s")).quant_calib()
+    assert got_back == {k: float(v) for k, v in act_ds.items()}
+    mem = MemoryFeatureStore(class_names=ds.class_names)
+    extract.extract_features(ds, params, mem, dcfg, act_max=got_back)
+    a, b = store.load_all(), mem.load_all()
+    assert a.keys() == b.keys()
+    for vid in a:
+        np.testing.assert_array_equal(a[vid][0], b[vid][0])
+    # Without the scales the query program is a DIFFERENT quantization
+    # (synthetic-calibrated) — the exact drift the provenance prevents.
+    mem2 = MemoryFeatureStore(class_names=ds.class_names)
+    extract.extract_features(ds, params, mem2, dcfg_nocal := dataclasses.
+                             replace(dcfg, quant_calib="synthetic"))
+    assert any(
+        not np.array_equal(a[vid][0], mem2.load_all()[vid][0]) for vid in a
+    ), dcfg_nocal
+
+    # Wrong-arch scales fail with the cause named, not a bare KeyError.
+    with pytest.raises(ValueError, match="different --arch"):
+        make_feature_fn(
+            get_arch("resnet34")[0](dtype=jnp.float32).init(
+                jax.random.PRNGKey(1), jnp.zeros((1, *HW, 3))
+            ),
+            dataclasses.replace(cfg, arch="resnet34"),
+            act_max={"conv1": 1.0},
+        )
