@@ -295,15 +295,23 @@ def cmd_extract(args) -> int:
                 "--quant-calib only applies with --quant int8"
             )
         cfg = _dc.replace(cfg, quant_calib=args.quant_calib)
+    act_max = None
+    if cfg.quant:
+        # Compute the int8 calibration scales ONCE (synthetic fixtures, or
+        # the dataset's own clips under --quant-calib dataset) and record
+        # them in the manifest: classify reads them back so its query
+        # featurization is the exact program that produced this store.
+        # Under --multichip the calibration inputs are deterministic and
+        # identical on every host (full-dataset prefix / fixtures), so all
+        # processes derive the SAME scales — the sharded featurizer's
+        # replicated-quantized-params premise (parallel/sharded.py).
+        from eov_tpu.extract import quant_calibration
+
+        act_max = quant_calibration(
+            params, cfg,
+            dataset if cfg.quant_calib == "dataset" else None,
+        )
     if args.multichip:
-        if cfg.quant:
-            # The sharded featurizer (parallel/sharded.py) builds its own
-            # forward; running it under a --quant flag would silently
-            # extract bf16 features wearing an int8 label.
-            raise SystemExit(
-                "--quant int8 is single-chip only (the sharded featurizer "
-                "runs the bf16 forward); drop --multichip or --quant"
-            )
         # Config 5 (pod_extract): DP over all chips of all hosts — mesh from
         # parallel/, per-host record shard, batches padded to mesh-divisible.
         import dataclasses
@@ -322,6 +330,7 @@ def cmd_extract(args) -> int:
             params, mesh, scale_size=cfg.scale_size, crop_size=cfg.crop_size,
             compute_dtype=jnp.dtype(cfg.compute_dtype), arch=cfg.arch,
             fused_stages=cfg.fused_stages, fused_group=cfg.fused_group,
+            quant=cfg.quant, act_max=act_max,
         )
         records = dist.process_record_shard(dataset.records)
 
@@ -335,18 +344,7 @@ def cmd_extract(args) -> int:
         )
     except ValueError as e:
         raise SystemExit(str(e))
-    act_max = None
-    if cfg.quant:
-        # Compute the int8 calibration scales ONCE (synthetic fixtures, or
-        # the dataset's own clips under --quant-calib dataset) and record
-        # them in the manifest: classify reads them back so its query
-        # featurization is the exact program that produced this store.
-        from eov_tpu.extract import quant_calibration
-
-        act_max = quant_calibration(
-            params, cfg,
-            dataset if cfg.quant_calib == "dataset" else None,
-        )
+    if act_max is not None:
         store.set_quant_calib(act_max)
     metrics.write("config", command="extract", config=resolved_dict(cfg),
                   multichip=bool(args.multichip))

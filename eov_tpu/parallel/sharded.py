@@ -39,6 +39,8 @@ def make_sharded_feature_fn(
     arch: str = "resnet50",
     fused_stages: tuple | str = "auto",
     fused_group: int = 2,
+    quant: str | None = None,
+    act_max: dict | None = None,
 ) -> Callable:
     """Sharded clip featurizer: frames [B, K, H, W, 3] u8 -> features [B, D].
 
@@ -50,6 +52,16 @@ def make_sharded_feature_fn(
     follows extract.resolve_fused_stages: per-device blocks run the Pallas
     fused bottleneck stack for those stages (the kernel is pure local
     compute, so it composes with shard_map unchanged).
+
+    ``quant='int8'`` (r5) runs the post-training int8 forward
+    (models/quant_infer.py) per device — quantization is pure local compute,
+    so pod-scale int8 extraction is the same one-psum program. It requires
+    ``act_max``, the per-conv-site calibration scales
+    (extract.quant_calibration): every process must quantize with the SAME
+    scales or the "replicated params" premise above silently breaks, so
+    this function refuses to calibrate locally. Config-time refusals mirror
+    extract.make_feature_fn's (fold_bn required; fused stages (1,) only,
+    bottleneck archs only).
     """
     from eov_tpu.extract import resolve_fused_stages
 
@@ -58,21 +70,82 @@ def make_sharded_feature_fn(
         from eov_tpu.models.resnet import fold_batchnorm
 
         params = fold_batchnorm(params)
-    fused = resolve_fused_stages(fused_stages, folded=folded, arch=arch)
     interpret = jax.default_backend() != "tpu"
     # Host (numpy) leaves: multi-controller jit treats them as replicated
     # (every process passes the same values); committed single-device jax
     # arrays would be rejected as non-addressable on the other hosts.
     import numpy as np
 
-    params = jax.tree.map(np.asarray, params)
+    qvars = None
+    if quant is not None:
+        if quant != "int8":
+            raise ValueError(
+                f"quant={quant!r}: the only implemented scheme is 'int8'"
+            )
+        if not folded:
+            raise ValueError(
+                "quant='int8' quantizes the FOLDED inference path: it needs "
+                "fold_bn=True and raw params with batch_stats"
+            )
+        if act_max is None:
+            raise ValueError(
+                "sharded quant='int8' needs pre-computed calibration scales "
+                "(act_max=extract.quant_calibration(...)): every process "
+                "must quantize with identical scales"
+            )
+        if fused_stages == "auto":
+            # Match extract.make_feature_fn: the int8 XLA conv walk is the
+            # measured production default (BASELINE.md r5); the int8 fused
+            # stage-1 stack stays explicit opt-in.
+            fused = ()
+        else:
+            fused = tuple(fused_stages) if fused_stages else ()
+            if fused and fused != (1,):
+                raise ValueError(
+                    "quant='int8' fused_stages supports (1,) only "
+                    f"(got {fused_stages!r})"
+                )
+            if fused:
+                from eov_tpu.models import get_arch
+
+                if not get_arch(arch)[2]:
+                    raise ValueError(
+                        "quant='int8' fused stage-1 is implemented for "
+                        f"bottleneck archs only (arch={arch!r})"
+                    )
+        from eov_tpu.models.quant_infer import quantize_variables
+
+        try:
+            qvars = quantize_variables(params, act_max)
+        except KeyError as e:
+            raise ValueError(
+                f"calibration scales are missing conv site {e.args[0]!r} — "
+                f"were they computed for a different arch than {arch!r}?"
+            )
+        qvars = jax.tree.map(np.asarray, qvars)
+    else:
+        fused = resolve_fused_stages(fused_stages, folded=folded, arch=arch)
+
+    # The variable tree rides as the shard_map ARGUMENT (not a closure
+    # constant, which XLA would bake into the program): quantized tree
+    # under int8, folded float params otherwise.
+    params = qvars if qvars is not None else jax.tree.map(np.asarray, params)
+    quantized = qvars is not None
 
     def local_fn(params, frames_u8):
         x = preprocess.preprocess_eval(
             frames_u8, scale_size=scale_size, crop_size=crop_size,
             dtype=compute_dtype,
         )
-        if fused:
+        if quantized:
+            from eov_tpu.models.quant_infer import quant_feature_apply
+
+            feats = quant_feature_apply(
+                params, x, arch=arch, dtype=compute_dtype,
+                fused_stages=fused, fused_group=fused_group,
+                interpret=interpret,
+            )
+        elif fused:
             from eov_tpu.models.folded_infer import folded_feature_apply
 
             feats = folded_feature_apply(

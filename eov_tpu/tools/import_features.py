@@ -183,11 +183,19 @@ def import_cache(
     class_names: Sequence[str] | None = None,
     store_dtype: str | None = None,
     allow_pickle: bool = False,
+    quant: str | None = None,
 ) -> dict:
     """Convert a reference-era cache at ``src`` into a FeatureStore.
 
     Returns the written store's summary() dict. Refuses (ValueError) on
     any ambiguity rather than guessing — see module docstring.
+
+    ``quant`` declares the cache's known extraction precision so the
+    imported store carries provenance (data/store.py): ``"off"``/``None``
+    = float forward, ``"int8"`` = a quantized deployment cache. The
+    DEFAULT makes no claim — the store stays provenance-unknown and
+    downstream surfaces warn instead of vouching; only pass a value the
+    cache's producer actually documents.
     """
     from eov_tpu.data.store import FeatureStore
 
@@ -321,8 +329,11 @@ def import_cache(
     for vid, feat, _ in resolved:
         dim = _check_feature(vid, feat, dim)
 
+    store_kw = {}
+    if quant is not None:
+        store_kw["quant"] = None if quant == "off" else quant
     store = FeatureStore(store_root, class_names=names, process_index=0,
-                         dtype=store_dtype)
+                         dtype=store_dtype, **store_kw)
     for n_done, (vid, feat, label) in enumerate(resolved, 1):
         store.put(vid, np.asarray(feat, np.float32), label)
         if n_done % _FLUSH_EVERY == 0:
@@ -347,6 +358,11 @@ def main(argv=None) -> int:
     ap.add_argument("--allow-pickle", action="store_true",
                     help="permit .pkl caches (arbitrary code execution on "
                          "load — trusted files only)")
+    ap.add_argument("--quant", default=None, choices=("off", "int8"),
+                    help="declare the cache's KNOWN extraction precision so "
+                         "the imported store carries provenance (classify/"
+                         "eval then verify instead of warning); omit when "
+                         "unsure — the store stays provenance-unknown")
     args = ap.parse_args(argv)
     names = None
     if args.classes:
@@ -357,6 +373,7 @@ def main(argv=None) -> int:
         summary = import_cache(
             args.src, args.store, split=args.split, class_names=names,
             store_dtype=args.store_dtype, allow_pickle=args.allow_pickle,
+            quant=args.quant,
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

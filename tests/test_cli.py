@@ -190,9 +190,10 @@ def test_cli_jpeg_scale_denom_accuracy_delta_zero(tmp_path, capsys):
 def test_cli_extract_quant_int8(tmp_path, capsys):
     """--quant int8 plumbs through to ExtractConfig (r5): the extraction
     completes (calibration on synthetic fixtures, int8 conv walk) and the
-    resulting store evals; --multichip + --quant refuses up front (the
-    sharded featurizer would silently run bf16 under an int8 label).
-    Feature parity bounds live in tests/test_quant_infer.py."""
+    resulting store evals; --multichip + --quant runs the SAME quantized
+    program through the sharded featurizer (pod-scale int8 extraction) and
+    produces matching features with matching provenance. Feature parity
+    bounds live in tests/test_quant_infer.py."""
     store = str(tmp_path / "q8")
     out = _run(capsys, [
         "extract", "--platform", "cpu", "--preset", "synthetic_smoke",
@@ -203,15 +204,29 @@ def test_cli_extract_quant_int8(tmp_path, capsys):
     stats = json.loads(out.strip().splitlines()[-1])
     assert stats["extracted"] == 6 and stats["failed"] == 0
 
-    with pytest.raises(SystemExit, match="single-chip only"):
-        cli.main([
-            "extract", "--platform", "cpu", "--preset", "synthetic_smoke",
-            "--dataset", "synthetic", "--synthetic-classes", "3",
-            "--synthetic-clips", "2", "--arch", "resnet18",
-            "--store", str(tmp_path / "q8mc"), "--quant", "int8",
-            "--multichip",
-        ])
-    capsys.readouterr()
+    mc_store = str(tmp_path / "q8mc")
+    out = _run(capsys, [
+        "extract", "--platform", "cpu", "--preset", "synthetic_smoke",
+        "--dataset", "synthetic", "--synthetic-classes", "3",
+        "--synthetic-clips", "2", "--arch", "resnet18",
+        "--store", mc_store, "--quant", "int8", "--multichip",
+    ])
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["extracted"] == 6 and stats["failed"] == 0
+
+    from eov_tpu.data.store import FeatureStore
+
+    single, multi = FeatureStore(store), FeatureStore(mc_store)
+    assert multi.recorded_quant() == ("int8", True)
+    assert multi.quant_calib() == single.quant_calib()
+    sf, mf = single.load_all(), multi.load_all()
+    assert set(sf) == set(mf)
+    import numpy as np
+
+    for vid in sf:
+        np.testing.assert_allclose(
+            mf[vid][0], sf[vid][0], rtol=2e-4, atol=2e-5
+        )
 
 
 def test_cli_quant_provenance_guard(tmp_path, capsys):

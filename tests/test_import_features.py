@@ -257,3 +257,34 @@ def test_dict_keys_with_media_extensions_match_split(tmp_path):
     with pytest.raises(ValueError, match="more than once"):
         import_cache(str(tmp_path / "dup.npz"), str(tmp_path / "s2"),
                      split=str(split))
+
+
+def test_import_quant_provenance_declaration(tmp_path):
+    # r5: --quant declares the cache's KNOWN extraction precision so the
+    # imported store carries provenance; the default makes no claim and
+    # the store stays provenance-unknown (downstream warns, not vouches).
+    src = tmp_path / "cache"
+    _write_class_tree(str(src))
+
+    summary = import_cache(str(src), str(tmp_path / "plain"))
+    assert summary["quant"] == "unknown"
+    store = FeatureStore(str(tmp_path / "plain"), process_index=0)
+    assert store.recorded_quant() == (None, False)
+
+    summary = import_cache(str(src), str(tmp_path / "q8"), quant="int8")
+    assert summary["quant"] == "int8"
+    store = FeatureStore(str(tmp_path / "q8"), process_index=0)
+    assert store.recorded_quant() == ("int8", True)
+
+    # "off" is a positive claim too: the float forward, recorded as such.
+    summary = import_cache(str(src), str(tmp_path / "f32"), quant="off")
+    assert summary["quant"] == "off"
+    store = FeatureStore(str(tmp_path / "f32"), process_index=0)
+    assert store.recorded_quant() == (None, True)
+
+    # CLI flag drives the same path.
+    rc = main(["--src", str(src), "--store", str(tmp_path / "cli_q8"),
+               "--quant", "int8"])
+    assert rc == 0
+    store = FeatureStore(str(tmp_path / "cli_q8"), process_index=0)
+    assert store.recorded_quant() == ("int8", True)

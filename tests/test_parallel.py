@@ -82,6 +82,45 @@ def test_sharded_features_fused_stages_match_default(devices8, small_params):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+def test_sharded_quant_int8_matches_single_device(devices8, small_params):
+    # Pod-scale int8 extraction (r5): the sharded featurizer under
+    # quant='int8' must reproduce the single-chip quantized program
+    # (extract.make_feature_fn) given the SAME calibration scales — the
+    # quantized tree is pure local compute, so only the frame-axis psum
+    # mean differs structurally.
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (8, 4, 40, 48, 3), dtype=np.uint8)
+    mesh = make_mesh(4, 2, devices=devices8)
+
+    from eov_tpu.extract import (
+        ExtractConfig, make_feature_fn, quant_calibration,
+    )
+
+    cfg = ExtractConfig(
+        num_segments=4, scale_size=36, crop_size=32,
+        compute_dtype="float32", quant="int8", quant_calib_clips=2,
+    )
+    act_max = quant_calibration(small_params, cfg)
+    want = np.asarray(
+        make_feature_fn(small_params, cfg, act_max=act_max)(
+            jnp.asarray(frames)
+        )
+    )
+    got = np.asarray(
+        sharded.make_sharded_feature_fn(
+            small_params, mesh, scale_size=36, crop_size=32,
+            compute_dtype=jnp.float32, quant="int8", act_max=act_max,
+        )(jnp.asarray(frames))
+    )
+    assert got.shape == want.shape == (8, 2048)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # Local calibration is refused: every process must quantize with
+    # identical scales, so the scales arrive pre-computed or not at all.
+    with pytest.raises(ValueError, match="act_max"):
+        sharded.make_sharded_feature_fn(small_params, mesh, quant="int8")
+
+
 def test_resolve_fused_stages_auto_semantics():
     from eov_tpu.extract import resolve_fused_stages
 

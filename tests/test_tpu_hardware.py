@@ -492,3 +492,42 @@ def test_quant_int8_fused_stage1_on_hardware(tpu_backend):
         np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
     )
     assert cos.min() >= 0.999999, cos
+
+
+@requires_tpu
+def test_sharded_quant_int8_featurizer_on_hardware(tpu_backend):
+    """Pod-scale int8 extraction's program object (shard_map-wrapped int8
+    conv walk + frame-axis psum consensus, parallel/sharded.py) lowers and
+    executes on real TPU, matching the single-chip quantized program. A
+    1-device ('data','frame') mesh exercises the identical trace; the
+    multi-device numerics are proven on the virtual CPU mesh
+    (tests/test_parallel.py::test_sharded_quant_int8_matches_single_device)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eov_tpu.extract import (
+        ExtractConfig, make_feature_fn, quant_calibration,
+    )
+    from eov_tpu.models import get_arch
+    from eov_tpu.parallel import make_mesh
+    from eov_tpu.parallel.sharded import make_sharded_feature_fn
+
+    model = get_arch("resnet18")[0](dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(9), jnp.zeros((1, 64, 64, 3)))
+    cfg = ExtractConfig(
+        num_segments=2, arch="resnet18", scale_size=36, crop_size=32,
+        compute_dtype="float32", quant="int8", quant_calib_clips=2,
+    )
+    act_max = quant_calibration(variables, cfg)
+    rng = np.random.default_rng(9)
+    frames = jnp.asarray(
+        rng.integers(0, 256, (2, 2, 40, 48, 3), dtype=np.uint8)
+    )
+    want = np.asarray(make_feature_fn(variables, cfg, act_max=act_max)(frames))
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    got = np.asarray(make_sharded_feature_fn(
+        variables, mesh, scale_size=36, crop_size=32,
+        compute_dtype=jnp.float32, arch="resnet18",
+        quant="int8", act_max=act_max,
+    )(frames))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
