@@ -535,10 +535,20 @@ def cmd_classify(args) -> int:
     dataset = _load_dataset(args)
     qstore = MemoryFeatureStore(class_names=list(dataset.class_names))
     # Under --quant, featurize queries with the SUPPORT store's recorded
-    # calibration scales (the exact quantized program that produced it);
-    # pre-scales int8 stores fall back to the synthetic calibration they
-    # were built with (act_max=None).
+    # calibration scales (the exact quantized program that produced it).
+    # A store that records quant=int8 but carries NO scales (imported
+    # caches, pre-scales r5 stores) falls back to local synthetic
+    # calibration — exact for this repo's own pre-scales stores (same
+    # deterministic fixtures), unverifiable for imported ones, so say so.
     act_max = store.quant_calib() if cfg.quant else None
+    if cfg.quant and act_max is None:
+        print(
+            f"warning: support store {store.root} records no calibration "
+            "scales; queries are featurized with locally recalibrated "
+            "(synthetic-fixture) scales, which may not match the program "
+            "that produced an imported store",
+            file=sys.stderr,
+        )
     stats = extract_features(dataset, params, qstore, cfg, act_max=act_max)
     qfeats = qstore.load_all()  # video_id -> (feature, label)
     if not qfeats:

@@ -350,6 +350,10 @@ class FeatureStore:
             "feature_dim": dim,
             "dtype": self.dtype.name,
             "quant": (q or "off") if q_known else "unknown",
+            # int8 stores: whether the producing program's calibration
+            # scales are recorded (classify reproduces the store's exact
+            # quantized program only when they are).
+            "quant_calib": self.quant_calib() is not None,
             "shards": len(shards),
             "writers": len(manifests) or 1,
             "bytes": int(sum(os.path.getsize(p) for p in shards)),

@@ -305,6 +305,41 @@ def test_cli_quant_provenance_unknown_store_warns(tmp_path, capsys):
     assert "records no extraction precision" in captured.err
 
 
+def test_cli_quant_store_without_scales_warns(tmp_path, capsys):
+    """An int8-provenance store with NO recorded calibration scales (an
+    imported cache, or a pre-scales r5 store) still classifies, but the
+    local synthetic recalibration is unverifiable against the store's
+    producer — classify must say so instead of silently vouching."""
+    import os
+
+    store = str(tmp_path / "imported_int8")
+    _run(capsys, [
+        "extract", "--platform", "cpu", "--preset", "synthetic_smoke",
+        "--dataset", "synthetic", "--synthetic-classes", "3",
+        "--synthetic-clips", "2", "--arch", "resnet18",
+        "--store", store, "--quant", "int8",
+    ])
+    mpath = os.path.join(store, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    assert m.pop("quant_calib", None)  # extract recorded scales; strip them
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    info = _run(capsys, ["store-info", "--store", store])
+    assert json.loads(info.strip())["quant_calib"] is False
+
+    rc = cli.main([
+        "classify", "--platform", "cpu", "--preset", "synthetic_smoke",
+        "--dataset", "synthetic", "--synthetic-classes", "3",
+        "--synthetic-clips", "1", "--arch", "resnet18",
+        "--store", store, "--quant", "int8",
+    ])
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert "records no calibration scales" in captured.err
+
+
 def test_cli_embodied_eval_quant_mismatch_refuses(tmp_path, capsys):
     """Embodied eval fuses real+virtual banks in one similarity space; a
     recorded precision mismatch between the two stores refuses."""
